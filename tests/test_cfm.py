@@ -1,0 +1,134 @@
+"""Tests of the CFM matcher family (torchcfm-equivalent API)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_diffusion.losses.cfm import (ConditionalFlowMatcher,
+                                      ExactOptimalTransportConditionalFlowMatcher,
+                                      SchrodingerBridgeConditionalFlowMatcher,
+                                      TargetConditionalFlowMatcher,
+                                      VariancePreservingConditionalFlowMatcher,
+                                      cfm_loss, exact_ot_permutation,
+                                      get_matcher, sinkhorn_assignment)
+
+
+def _data(key, b=32, shape=(4,)):
+    k0, k1 = jax.random.split(key)
+    return (jax.random.normal(k0, (b,) + shape),
+            jax.random.normal(k1, (b,) + shape) + 2.0)
+
+
+def test_icfm_path_endpoints():
+    fm = ConditionalFlowMatcher(sigma=0.0)
+    x0, x1 = _data(jax.random.PRNGKey(0))
+    t = jnp.zeros(32)
+    _, xt, ut = fm.sample_location_and_conditional_flow(
+        jax.random.PRNGKey(1), x0, x1, t=t)
+    np.testing.assert_allclose(xt, x0, atol=1e-6)
+    np.testing.assert_allclose(ut, x1 - x0, atol=1e-6)
+    t = jnp.ones(32)
+    _, xt, _ = fm.sample_location_and_conditional_flow(
+        jax.random.PRNGKey(2), x0, x1, t=t)
+    np.testing.assert_allclose(xt, x1, atol=1e-6)
+
+
+def test_icfm_sigma_adds_noise():
+    fm = ConditionalFlowMatcher(sigma=0.5)
+    x0 = jnp.zeros((4096, 1))
+    x1 = jnp.zeros((4096, 1))
+    t = jnp.full((4096,), 0.5)
+    _, xt, _ = fm.sample_location_and_conditional_flow(
+        jax.random.PRNGKey(0), x0, x1, t=t)
+    assert abs(float(xt.std()) - 0.5) < 0.03
+
+
+def test_lipman_fm_marginal_consistency():
+    """u_t must transport the conditional Gaussian path: check that
+    d mu_t/dt == E[u_t | t] at xt = mu_t."""
+    fm = TargetConditionalFlowMatcher(sigma=0.01)
+    x1 = jnp.array([[2.0]])
+    t = jnp.array([0.4])
+    mu = fm.compute_mu_t(None, x1, t)
+    ut = fm.compute_conditional_flow(None, x1, t, mu)
+    # at xt = t x1: u = (x1 - (1-s) t x1)/(1 - (1-s)t)
+    s = 0.01
+    want = (2.0 - (1 - s) * 0.4 * 2.0) / (1 - (1 - s) * 0.4)
+    np.testing.assert_allclose(ut[0, 0], want, rtol=1e-5)
+
+
+def test_vp_si_flow_is_path_derivative():
+    """For the trig interpolant, u_t(mu_t) == d mu_t / dt (autodiff check)."""
+    fm = VariancePreservingConditionalFlowMatcher(sigma=0.0)
+    x0 = jnp.array([[1.0]])
+    x1 = jnp.array([[-0.5]])
+
+    def mu(tv):
+        return fm.compute_mu_t(x0, x1, jnp.array([tv]))[0, 0]
+
+    t = 0.3
+    want = jax.grad(mu)(t)
+    got = fm.compute_conditional_flow(x0, x1, jnp.array([t]), None)[0, 0]
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_exact_ot_permutation_recovers_identity():
+    """When x1 is a shuffled copy of x0, exact OT must unshuffle it."""
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (16, 8)) * 10
+    perm = jax.random.permutation(jax.random.PRNGKey(1), 16)
+    x1 = x0[perm]
+    assignment = exact_ot_permutation(x0, x1)
+    np.testing.assert_array_equal(np.asarray(x1)[np.asarray(assignment)],
+                                  np.asarray(x0))
+
+
+def test_otcfm_reduces_transport_cost():
+    fm = ExactOptimalTransportConditionalFlowMatcher(sigma=0.0)
+    x0, x1 = _data(jax.random.PRNGKey(3), b=64, shape=(6,))
+    _, x1p = fm.pair(jax.random.PRNGKey(4), x0, x1)
+    naive = float(jnp.sum((x0 - x1) ** 2))
+    paired = float(jnp.sum((x0 - x1p) ** 2))
+    assert paired <= naive + 1e-4
+    # pairing is a permutation
+    np.testing.assert_allclose(np.sort(np.asarray(x1p), axis=0),
+                               np.sort(np.asarray(x1), axis=0), atol=1e-6)
+
+
+def test_otcfm_inside_jit():
+    """The host-callback OT pairing must compose with jit."""
+    fm = ExactOptimalTransportConditionalFlowMatcher(sigma=0.0)
+
+    @jax.jit
+    def step(key, x0, x1):
+        t, xt, ut = fm.sample_location_and_conditional_flow(key, x0, x1)
+        return cfm_loss(xt, ut)
+
+    x0, x1 = _data(jax.random.PRNGKey(5), b=8)
+    val = step(jax.random.PRNGKey(6), x0, x1)
+    assert np.isfinite(float(val))
+
+
+def test_sinkhorn_assignment_near_identity():
+    x0 = jnp.eye(8) * 10
+    perm = jnp.array([3, 1, 4, 0, 7, 2, 6, 5])
+    x1 = x0[perm]
+    a = sinkhorn_assignment(x0, x1, reg=0.01, num_iters=200)
+    np.testing.assert_array_equal(np.asarray(x1)[np.asarray(a)],
+                                  np.asarray(x0))
+
+
+def test_sbcfm_bridge_noise_vanishes_at_endpoints():
+    fm = SchrodingerBridgeConditionalFlowMatcher(sigma=1.0)
+    t = jnp.array([0.0, 0.5, 1.0])
+    sig = fm.compute_sigma_t(t)
+    np.testing.assert_allclose(sig, [0.0, 0.5, 0.0], atol=1e-6)
+
+
+def test_get_matcher_factory():
+    for name in ["icfm", "otcfm", "fm", "si", "sbcfm"]:
+        m = get_matcher(name, sigma=0.1)
+        assert hasattr(m, "sample_location_and_conditional_flow")
+    with pytest.raises(NotImplementedError):
+        get_matcher("nope")

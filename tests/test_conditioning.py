@@ -1,0 +1,225 @@
+"""Tests of likelihood operators and the conditional samplers.
+
+Uses an analytically tractable "model" (the exact score of a known Gaussian
+mixture / exact eps for a known x0) so the sampler math is verified without
+training — the approach of the reference's
+`conditioning_with_analytic_htransform.ipynb` (SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_diffusion.conditioning.guidance import (Amortized,
+                                                 ReconstructionGuidance,
+                                                 Replacement,
+                                                 get_conditioning)
+from tpu_diffusion.conditioning.likelihoods import (HyperResolution,
+                                                    InPainting, OutPainting,
+                                                    get_likelihood)
+from tpu_diffusion.core.schedules import DDPM
+from tpu_diffusion.losses.ddpm import amortized_ddpm_loss, ddpm_loss
+from tpu_diffusion.sampling.ancestral import (make_conditional_sampler,
+                                              make_ddim_sampler,
+                                              make_prior_sampler)
+
+B, H, W, C = 4, 16, 16, 1
+
+
+@pytest.fixture(scope="module")
+def ddpm():
+    return DDPM.create(100)
+
+
+def _images(key):
+    return jnp.tanh(jax.random.normal(key, (B, H, W, C)))
+
+
+# --- likelihoods -----------------------------------------------------------
+
+
+def test_inpainting_masks_one_patch_per_image():
+    lik = InPainting(patch_size=4, pad_value=-2.0)
+    x = _images(jax.random.PRNGKey(0))
+    cond = lik.sample(jax.random.PRNGKey(1), x)
+    masked = np.asarray(cond == -2.0).reshape(B, -1).sum(-1)
+    np.testing.assert_array_equal(masked, 16 * np.ones(B))
+    # observed pixels untouched
+    obs = np.asarray(cond != -2.0)
+    np.testing.assert_allclose(np.asarray(cond)[obs], np.asarray(x)[obs])
+
+
+def test_inpainting_respects_border_margin():
+    lik = InPainting(patch_size=4, pad_value=-2.0)
+    x = _images(jax.random.PRNGKey(2))
+    for seed in range(5):
+        cond = np.asarray(lik.sample(jax.random.PRNGKey(seed), x))
+        border = np.concatenate([
+            cond[:, :5].ravel(), cond[:, -5:].ravel(),
+            cond[:, :, :5].ravel(), cond[:, :, -5:].ravel()])
+        assert not np.any(border == -2.0)
+
+
+def test_outpainting_keeps_one_patch():
+    lik = OutPainting(patch_size=4, pad_value=-2.0)
+    x = _images(jax.random.PRNGKey(3))
+    cond = np.asarray(lik.sample(jax.random.PRNGKey(4), x))
+    kept = (cond != -2.0).reshape(B, -1).sum(-1)
+    np.testing.assert_array_equal(kept, 16 * np.ones(B))
+
+
+def test_painting_loss_only_on_observed():
+    lik = InPainting(patch_size=4, pad_value=-2.0)
+    x = _images(jax.random.PRNGKey(5))
+    cond = lik.sample(jax.random.PRNGKey(6), x)
+    # perfect reconstruction -> zero loss
+    np.testing.assert_allclose(lik.loss(x, cond), 0.0, atol=1e-9)
+    # perturbing masked pixels does not change the loss
+    x2 = jnp.where(cond == -2.0, x + 100.0, x)
+    np.testing.assert_allclose(lik.loss(x2, cond), 0.0, atol=1e-9)
+    # perturbing observed pixels does
+    x3 = x + 1.0
+    assert float(lik.loss(x3, cond).sum()) > 0
+
+
+def test_hyperresolution_roundtrip_shapes():
+    lik = HyperResolution(target_height=4, target_width=4)
+    x = _images(jax.random.PRNGKey(7))
+    cond = lik.sample(jax.random.PRNGKey(8), x)
+    assert cond.shape == x.shape
+    # constant image survives down/up exactly
+    const = jnp.full((B, H, W, C), 0.37)
+    np.testing.assert_allclose(lik.sample(None, const), const, atol=1e-6)
+    assert float(jnp.max(lik.loss(const, lik.downsample(const)))) < 1e-10
+
+
+def test_factories():
+    assert get_likelihood("inpainting") is InPainting
+    assert get_likelihood("HyperResolution") is HyperResolution
+    assert get_conditioning("amortized") is Amortized
+    with pytest.raises(NotImplementedError):
+        get_likelihood("xyz")
+
+
+# --- losses ----------------------------------------------------------------
+
+
+def test_ddpm_loss_near_one_for_zero_model(ddpm):
+    """E||eps - 0||^2 == 1 for a zero network."""
+    def net(x, t):
+        return jnp.zeros_like(x)
+
+    vals = [float(ddpm_loss(jax.random.PRNGKey(s), net, ddpm,
+                            _images(jax.random.PRNGKey(s + 100))))
+            for s in range(8)]
+    assert abs(np.mean(vals) - 1.0) < 0.1
+
+
+def test_amortized_loss_concat_channels(ddpm):
+    """The amortized loss feeds 2C channels to the network."""
+    lik = InPainting(patch_size=4, pad_value=-2.0)
+    cond_cfg = Amortized(p_cond=1.0)
+    seen = {}
+
+    def net(x, t):
+        seen["channels"] = x.shape[-1]
+        return jnp.zeros(x.shape[:-1] + (C,))
+
+    amortized_ddpm_loss(jax.random.PRNGKey(0), net, ddpm, cond_cfg, lik,
+                        _images(jax.random.PRNGKey(1)))
+    assert seen["channels"] == 2 * C
+
+
+# --- samplers with an exact model -----------------------------------------
+
+
+def _exact_eps_fn(ddpm, x_target):
+    """eps that pulls every sample toward a fixed x_target: the exact
+    eps-prediction when the data distribution is the delta at x_target."""
+    def eps_fn(xi, i):
+        return ddpm.predict_noise_from_start(xi, i, jnp.broadcast_to(
+            x_target, xi.shape))
+    return eps_fn
+
+
+def test_prior_sampler_recovers_delta_target(ddpm):
+    """With the exact eps model of a point mass, ancestral sampling must
+    land on the point."""
+    target = jnp.full((H, W, C), 0.5)
+    sampler = make_prior_sampler(_exact_eps_fn(ddpm, target), ddpm)
+    xT = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, C))
+    x0 = jax.jit(sampler)(jax.random.PRNGKey(1), xT)
+    np.testing.assert_allclose(np.asarray(x0), 0.5, atol=0.05)
+
+
+def test_ddim_sampler_recovers_delta_target(ddpm):
+    target = jnp.full((H, W, C), -0.25)
+    sampler = make_ddim_sampler(_exact_eps_fn(ddpm, target), ddpm,
+                                num_steps=20)
+    xT = jax.random.normal(jax.random.PRNGKey(2), (B, H, W, C))
+    x0 = jax.jit(sampler)(jax.random.PRNGKey(3), xT)
+    np.testing.assert_allclose(np.asarray(x0), -0.25, atol=0.03)
+
+
+def test_replacement_sampler_pins_observed_pixels(ddpm):
+    lik = InPainting(patch_size=4, pad_value=-2.0)
+    truth = _images(jax.random.PRNGKey(4))
+    cond = lik.sample(jax.random.PRNGKey(5), truth)
+
+    def identity_x0_eps_fn(xi, i):
+        # model whose x0-prediction is clip(xi): propagates the replaced
+        # observed pixels through the posterior step
+        return ddpm.predict_noise_from_start(xi, i, jnp.clip(xi, -1, 1))
+
+    sampler = make_conditional_sampler(
+        identity_x0_eps_fn, ddpm,
+        Replacement(noise=False, n_corrector=0), lik)
+    xT = jax.random.normal(jax.random.PRNGKey(6), (B, H, W, C))
+    x0 = jax.jit(sampler)(jax.random.PRNGKey(7), xT, cond)
+    obs = np.asarray(lik.observed_mask(cond))
+    # one reverse step after the last replacement perturbs observed pixels
+    # by at most the final posterior stddev — loose tolerance
+    err = np.abs(np.asarray(x0) - np.asarray(cond))[obs]
+    assert err.mean() < 0.1
+
+
+def test_guidance_sampler_moves_toward_condition(ddpm):
+    """Reconstruction guidance on a flat prior (eps-model of N(0, I) data)
+    pulls samples toward the observed pixels."""
+    lik = InPainting(patch_size=6, pad_value=-2.0)
+    truth = jnp.clip(_images(jax.random.PRNGKey(8)) * 0 + 0.8, -1, 1)
+    cond = lik.sample(jax.random.PRNGKey(9), truth)
+
+    def eps_fn(xi, i):
+        # x0-model = 0.9 * xi: differentiable in xi so guidance gradients
+        # flow (a constant x0-model would have zero guidance gradient)
+        return ddpm.predict_noise_from_start(xi, i, 0.9 * xi)
+
+    guided = make_conditional_sampler(
+        eps_fn, ddpm, ReconstructionGuidance(gamma=20.0, n_corrector=0),
+        lik)
+    plain = make_prior_sampler(eps_fn, ddpm)
+    xT = jax.random.normal(jax.random.PRNGKey(10), (B, H, W, C))
+    xg = jax.jit(guided)(jax.random.PRNGKey(11), xT, cond)
+    xp = jax.jit(plain)(jax.random.PRNGKey(11), xT)
+    obs = np.asarray(lik.observed_mask(cond))
+    err_guided = float(np.mean(np.abs(np.asarray(xg) - 0.8)[obs]))
+    err_plain = float(np.mean(np.abs(np.asarray(xp) - 0.8)[obs]))
+    assert err_guided < err_plain
+
+
+def test_amortized_sampler_runs(ddpm):
+    lik = InPainting(patch_size=4, pad_value=-2.0)
+    truth = _images(jax.random.PRNGKey(12))
+    cond = lik.sample(jax.random.PRNGKey(13), truth)
+
+    def eps_fn(xi, i):  # amortized nets see 2C channels; return C
+        return jnp.zeros(xi.shape[:-1] + (C,))
+
+    sampler = make_conditional_sampler(
+        eps_fn, ddpm, Amortized(n_corrector=1, delta=0.1), lik)
+    xT = jax.random.normal(jax.random.PRNGKey(14), (B, H, W, C))
+    x0 = jax.jit(sampler)(jax.random.PRNGKey(15), xT, cond)
+    assert np.all(np.isfinite(np.asarray(x0)))
+    assert x0.shape == (B, H, W, C)

@@ -1,0 +1,82 @@
+"""ODE integrator correctness against closed-form solutions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_diffusion.sampling.ode import (odeint, odeint_dopri5, odeint_euler,
+                                        odeint_heun, odeint_midpoint,
+                                        odeint_rk4)
+
+
+def _linear_field(lam=-2.0):
+    def v(t, x):
+        return lam * x
+    return v
+
+
+def test_euler_linear_decay():
+    x0 = jnp.ones((4,))
+    x1, nfe = odeint_euler(_linear_field(), x0, num_steps=1000)
+    np.testing.assert_allclose(x1, np.exp(-2.0), rtol=1e-2)
+    assert int(nfe) == 1000
+
+
+def test_heun_more_accurate_than_euler():
+    x0 = jnp.ones((4,))
+    xe, _ = odeint_euler(_linear_field(), x0, num_steps=20)
+    xh, _ = odeint_heun(_linear_field(), x0, num_steps=10)  # same NFE
+    truth = np.exp(-2.0)
+    assert abs(float(xh[0]) - truth) < abs(float(xe[0]) - truth)
+
+
+def test_rk4_high_accuracy():
+    x0 = jnp.ones((4,))
+    x1, _ = odeint_rk4(_linear_field(), x0, num_steps=25)
+    np.testing.assert_allclose(x1, np.exp(-2.0), rtol=1e-6)
+
+
+def test_midpoint_second_order():
+    x0 = jnp.ones(())
+    e1, _ = odeint_midpoint(_linear_field(), x0, num_steps=10)
+    e2, _ = odeint_midpoint(_linear_field(), x0, num_steps=20)
+    truth = np.exp(-2.0)
+    r = abs(float(e1) - truth) / abs(float(e2) - truth)
+    assert 3.0 < r < 5.0  # error ratio ~ 2^2
+
+
+def test_dopri5_adaptive_accuracy_and_nfe():
+    def v(t, x):
+        return jnp.cos(10 * t) * jnp.ones_like(x)  # x(1) = sin(10)/10
+
+    x0 = jnp.zeros((3,))
+    x1, nfe = jax.jit(lambda x: odeint_dopri5(v, x, rtol=1e-6, atol=1e-6))(
+        x0)
+    np.testing.assert_allclose(x1, np.sin(10) / 10, atol=1e-5)
+    assert 10 < int(nfe) < 2000
+
+
+def test_dopri5_time_dependent_matrix():
+    def v(t, x):
+        return -t * x
+
+    x0 = jnp.ones((2,))
+    x1, _ = odeint_dopri5(v, x0, rtol=1e-7, atol=1e-7)
+    np.testing.assert_allclose(x1, np.exp(-0.5), rtol=1e-5)
+
+
+def test_odeint_dispatch():
+    x0 = jnp.ones(())
+    for m in ["euler", "midpoint", "heun", "rk4", "dopri5"]:
+        x1, nfe = odeint(_linear_field(), x0, method=m)
+        assert np.isfinite(float(x1))
+    with pytest.raises(NotImplementedError):
+        odeint(_linear_field(), x0, method="leapfrog")
+
+
+def test_integrators_jit_and_batch():
+    v = _linear_field(-1.0)
+    x0 = jnp.ones((8, 4, 4, 3))
+    x1, _ = jax.jit(lambda x: odeint_heun(v, x, num_steps=50))(x0)
+    np.testing.assert_allclose(x1, np.exp(-1.0), rtol=1e-3)

@@ -1,0 +1,277 @@
+"""Ancestral DDPM samplers (prior + three conditioning modes) and DDIM.
+
+Rebuilds `amortised diffusion/image_diffusion/sampling.py` as jitted
+`lax.scan` loops — the reference runs 1000 Python steps per batch
+(sampling.py:198-202); here the whole reverse chain is one compiled program.
+
+Interface: `eps_fn(x, i)` predicts noise for discrete steps `i` ([B] int32).
+An amortized model additionally receives the condition as extra channels —
+`make_*_sampler` builds that closure. Gradient guidance uses one
+`jax.grad` through the summed per-sample constraint (exactly equivalent to
+the reference's `vmap(grad(...))` at sampling.py:162-163, since samples do
+not interact inside the network at inference).
+
+TPU notes: guidance start gating (`i < Ns*start_fraction`) is data-independent
+given the step index, expressed with `jnp.where` so the scan body stays
+branch-free; the "no noise at i==0" rule is a `where` as well.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_diffusion.conditioning.guidance import (Amortized, Conditioning,
+                                                 ReconstructionGuidance,
+                                                 Replacement)
+from tpu_diffusion.conditioning.likelihoods import (HyperResolution,
+                                                    Likelihood, Painting)
+from tpu_diffusion.core.schedules import DDPM
+
+Array = jax.Array
+EpsFn = Callable[[Array, Array], Array]
+
+
+def process_x0(x: Array) -> Array:
+    """Clip the x0 prediction into the data range (sampling.py:13-14)."""
+    return jnp.clip(x, -1.0, 1.0)
+
+
+def make_x0_model(eps_fn: EpsFn, ddpm: DDPM) -> Callable:
+    def x0_model(xi: Array, i: Array) -> Array:
+        return process_x0(ddpm.predict_start_from_noise(xi, i,
+                                                        eps_fn(xi, i)))
+    return x0_model
+
+
+def amortized_eps_fn(eps_fn: EpsFn, condition: Array) -> EpsFn:
+    """Concat the condition as extra channels before the eps model
+    (sampling.py:36-44)."""
+    def fn(xi: Array, i: Array) -> Array:
+        return eps_fn(jnp.concatenate([xi, condition], axis=-1), i)
+    return fn
+
+
+def _posterior_step(key: Array, ddpm: DDPM, x0_pred: Array, xi: Array,
+                    i: Array) -> Array:
+    """One ancestral step: posterior mean + sigma * noise (none at i == 0)."""
+    mean, _, logvar = ddpm.p_mean_variance(x0_pred, xi, i)
+    noise = jax.random.normal(key, xi.shape, xi.dtype)
+    keep_noise = (i > 0).astype(xi.dtype).reshape((-1,) + (1,) * (xi.ndim - 1))
+    return mean + jnp.exp(0.5 * logvar) * noise * keep_noise
+
+
+def _corrector_steps(key: Array, x0_model, ddpm: DDPM, xi: Array, i: Array,
+                     n_corrector: int, delta: Array) -> Array:
+    """`n_corrector` Langevin corrector steps (sampling.py:113-121)."""
+    if n_corrector == 0:
+        return xi
+    dt = (ddpm.tmax - ddpm.tmin) / ddpm.num_steps
+
+    def body(k, xi):
+        ck = jax.random.fold_in(key, k)
+        score = ddpm.score_from_x0(x0_model(xi, i), i)
+        noise = jax.random.normal(ck, xi.shape, xi.dtype)
+        return xi + 0.5 * dt * delta * score + jnp.sqrt(dt * delta) * noise
+
+    return jax.lax.fori_loop(0, n_corrector, body, xi)
+
+
+def _reverse_scan(key: Array, xT: Array, step_fn) -> Array:
+    """Scan `step_fn(key, xi, i)` over i = Ns-1 .. 0."""
+    num_steps = step_fn.num_steps
+
+    def body(carry, i):
+        xi, key = carry
+        key, sk = jax.random.split(key)
+        return (step_fn(sk, xi, i), key), None
+
+    (x0, _), _ = jax.lax.scan(
+        body, (xT, key), jnp.arange(num_steps - 1, -1, -1))
+    return process_x0(x0)
+
+
+def _batched(i: Array, batch: int) -> Array:
+    return jnp.full((batch,), i, jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Prior sampling (sampling.py:50-75)
+# ---------------------------------------------------------------------------
+
+
+def make_prior_sampler(eps_fn: EpsFn, ddpm: DDPM,
+                       conditioning: Optional[Conditioning] = None,
+                       likelihood: Optional[Likelihood] = None) -> Callable:
+    """Unconditional ancestral sampling. For an amortized model the "none"
+    condition rides along as pad channels (sampling.py:36-44)."""
+
+    def sample(key: Array, xT: Array) -> Array:
+        fn = eps_fn
+        if isinstance(conditioning, Amortized):
+            assert likelihood is not None
+            fn = amortized_eps_fn(eps_fn, likelihood.none_like(xT))
+        x0_model = make_x0_model(fn, ddpm)
+
+        def step(k, xi, i):
+            ib = _batched(i, xi.shape[0])
+            return _posterior_step(k, ddpm, x0_model(xi, ib), xi, ib)
+
+        step.num_steps = ddpm.num_steps
+        return _reverse_scan(key, xT, step)
+
+    return sample
+
+
+# ---------------------------------------------------------------------------
+# Conditional sampling (dispatch on conditioning type)
+# ---------------------------------------------------------------------------
+
+
+def make_conditional_sampler(eps_fn: EpsFn, ddpm: DDPM,
+                             conditioning: Conditioning,
+                             likelihood: Likelihood) -> Callable:
+    """sample(key, xT, condition) -> x0. Mirrors plum dispatch at
+    sampling.py:81-260."""
+    if isinstance(conditioning, Amortized):
+        return _make_amortized_sampler(eps_fn, ddpm, conditioning, likelihood)
+    if isinstance(conditioning, ReconstructionGuidance):
+        return _make_guidance_sampler(eps_fn, ddpm, conditioning, likelihood)
+    if isinstance(conditioning, Replacement):
+        return _make_replacement_sampler(eps_fn, ddpm, conditioning,
+                                         likelihood)
+    raise NotImplementedError(type(conditioning))
+
+
+def _make_amortized_sampler(eps_fn, ddpm, cond: Amortized, likelihood):
+    def sample(key: Array, xT: Array, condition: Array) -> Array:
+        x0_model = make_x0_model(amortized_eps_fn(eps_fn, condition), ddpm)
+
+        def step(k, xi, i):
+            k1, k2 = jax.random.split(k)
+            ib = _batched(i, xi.shape[0])
+            xi = _posterior_step(k1, ddpm, x0_model(xi, ib), xi, ib)
+            return _corrector_steps(k2, x0_model, ddpm, xi, ib,
+                                    cond.n_corrector, cond.delta)
+
+        step.num_steps = ddpm.num_steps
+        return _reverse_scan(key, xT, step)
+
+    return sample
+
+
+def _make_guidance_sampler(eps_fn, ddpm, cond: ReconstructionGuidance,
+                           likelihood):
+    start_step = int(ddpm.num_steps * cond.start_fraction)
+
+    def sample(key: Array, xT: Array, condition: Array) -> Array:
+        x0_model = make_x0_model(eps_fn, ddpm)
+
+        def constraint_sum(xi, ib):
+            return jnp.sum(likelihood.loss(x0_model(xi, ib), condition))
+
+        def step(k, xi, i):
+            k1, k2 = jax.random.split(k)
+            ib = _batched(i, xi.shape[0])
+
+            # Guidance gradient through the x0 prediction. grad of the
+            # batch-summed per-sample loss == per-sample vmap(grad)
+            # (sampling.py:154-163) because inference couples no samples.
+            x_grad = jax.grad(constraint_sum)(xi, ib)
+            alpha_i = ddpm.alphas[i]
+            scale = cond.gamma * alpha_i * (1.0 - alpha_i)
+            active = (i < start_step).astype(xi.dtype)
+            x_update = -scale * active * x_grad
+
+            if cond.update_rule == "before":
+                xi = xi + x_update
+            xi_next = _posterior_step(k1, ddpm, x0_model(xi, ib), xi, ib)
+            if cond.update_rule == "after":
+                xi_next = xi_next + x_update
+            return _corrector_steps(k2, x0_model, ddpm, xi_next, ib,
+                                    cond.n_corrector, cond.delta)
+
+        step.num_steps = ddpm.num_steps
+        return _reverse_scan(key, xT, step)
+
+    return sample
+
+
+def _make_replacement_sampler(eps_fn, ddpm, cond: Replacement, likelihood):
+    if not isinstance(likelihood, Painting):
+        raise NotImplementedError(
+            "Replacement conditioning requires a Painting likelihood with a "
+            "pad_value mask (reference sampling.py:225-232)")
+    start_step = int(ddpm.num_steps * cond.start_fraction)
+
+    def sample(key: Array, xT: Array, condition: Array) -> Array:
+        x0_model = make_x0_model(eps_fn, ddpm)
+        observed = likelihood.observed_mask(condition)
+
+        def step(k, xi, i):
+            k1, k2, k3 = jax.random.split(k, 3)
+            ib = _batched(i, xi.shape[0])
+            if cond.noise:
+                noised, _ = ddpm.q_sample(k3, condition, ib)
+            else:
+                noised = condition
+            active = i < start_step
+            xi = jnp.where(jnp.logical_and(observed, active), noised, xi)
+            xi = _posterior_step(k1, ddpm, x0_model(xi, ib), xi, ib)
+            return _corrector_steps(k2, x0_model, ddpm, xi, ib,
+                                    cond.n_corrector, cond.delta)
+
+        step.num_steps = ddpm.num_steps
+        return _reverse_scan(key, xT, step)
+
+    return sample
+
+
+# ---------------------------------------------------------------------------
+# DDIM (new first-class sampler; the throughput benchmark path)
+# ---------------------------------------------------------------------------
+
+
+def make_ddim_sampler(eps_fn: EpsFn, ddpm: DDPM, num_steps: int = 100,
+                      eta: float = 0.0) -> Callable:
+    """Deterministic (eta=0) / stochastic DDIM over a strided substep grid.
+
+    Not present in the reference; this is the fixed-NFE sampler the
+    samples/sec/chip benchmark measures (BASELINE.md north star).
+    """
+    stride = ddpm.num_steps // num_steps
+    steps = jnp.arange(num_steps) * stride  # ascending; scan descends
+
+    def sample(key: Array, xT: Array,
+               condition: Optional[Array] = None) -> Array:
+        fn = eps_fn if condition is None else amortized_eps_fn(eps_fn,
+                                                               condition)
+
+        def body(carry, k):
+            xi, key = carry
+            i = steps[k]
+            i_prev = jnp.where(k > 0, steps[jnp.maximum(k - 1, 0)], -1)
+            ib = _batched(i, xi.shape[0])
+            eps = fn(xi, ib)
+            x0 = process_x0(ddpm.predict_start_from_noise(xi, ib, eps))
+            abar_prev = jnp.where(i_prev >= 0,
+                                  ddpm.alphas_cumprod[jnp.maximum(i_prev, 0)],
+                                  1.0)
+            abar = ddpm.alphas_cumprod[i]
+            sigma = eta * jnp.sqrt((1 - abar_prev) / (1 - abar)
+                                   * (1 - abar / abar_prev))
+            dir_xt = jnp.sqrt(jnp.maximum(1 - abar_prev - sigma**2, 0.0)) * (
+                (xi - jnp.sqrt(abar) * x0) / jnp.sqrt(1 - abar))
+            key, nk = jax.random.split(key)
+            noise = jax.random.normal(nk, xi.shape, xi.dtype)
+            xi = jnp.sqrt(abar_prev) * x0 + dir_xt + sigma * noise
+            return (xi, key), None
+
+        (x0, _), _ = jax.lax.scan(body, (xT, key),
+                                  jnp.arange(num_steps - 1, -1, -1))
+        return process_x0(x0)
+
+    return sample

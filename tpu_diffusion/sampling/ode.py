@@ -1,0 +1,177 @@
+"""ODE integrators for flow-matching sampling.
+
+Replaces the reference's torchdyn `NeuralODE` (cifar10/utils_cifar.py:13-41)
+and `torchdiffeq.odeint` dopri5 eval loops (mnist/utils_mnist.py:90-110,
+cifar10/compute_fid.py:73-100) with jitted scan/while loops:
+
+  * fixed-step Euler / Midpoint / Heun(2) / RK4 over a static time grid —
+    static NFE, fully fused, the TPU throughput path;
+  * adaptive Dormand–Prince 5(4) with PI step control as a bounded
+    `lax.while_loop` — matches the reference's dopri5(atol=rtol=1e-5) FID
+    protocol without leaving the device.
+
+Velocity signature: `v(t, x) -> dx/dt` with scalar `t`. Conditions are closed
+over by the caller (see `tpu_diffusion.cli` and samplers in trainers).
+All integrators return `(x1, nfe)` — NFE is a reported metric in the
+reference (mnist/train_mnist_hy.py:183-205).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+VField = Callable[[Array, Array], Array]
+
+
+def _time_grid(num_steps: int, t0: float, t1: float) -> Array:
+    return jnp.linspace(t0, t1, num_steps + 1)
+
+
+def odeint_euler(v: VField, x0: Array, num_steps: int = 100,
+                 t0: float = 0.0, t1: float = 1.0) -> Tuple[Array, Array]:
+    ts = _time_grid(num_steps, t0, t1)
+
+    def body(x, k):
+        t, tn = ts[k], ts[k + 1]
+        return x + (tn - t) * v(t, x), None
+
+    x1, _ = jax.lax.scan(body, x0, jnp.arange(num_steps))
+    return x1, jnp.asarray(num_steps, jnp.int32)
+
+
+def odeint_midpoint(v: VField, x0: Array, num_steps: int = 50,
+                    t0: float = 0.0, t1: float = 1.0) -> Tuple[Array, Array]:
+    ts = _time_grid(num_steps, t0, t1)
+
+    def body(x, k):
+        t, dt = ts[k], ts[k + 1] - ts[k]
+        k1 = v(t, x)
+        return x + dt * v(t + dt / 2, x + dt / 2 * k1), None
+
+    x1, _ = jax.lax.scan(body, x0, jnp.arange(num_steps))
+    return x1, jnp.asarray(2 * num_steps, jnp.int32)
+
+
+def odeint_heun(v: VField, x0: Array, num_steps: int = 50,
+                t0: float = 0.0, t1: float = 1.0) -> Tuple[Array, Array]:
+    ts = _time_grid(num_steps, t0, t1)
+
+    def body(x, k):
+        t, tn = ts[k], ts[k + 1]
+        dt = tn - t
+        k1 = v(t, x)
+        k2 = v(tn, x + dt * k1)
+        return x + dt / 2 * (k1 + k2), None
+
+    x1, _ = jax.lax.scan(body, x0, jnp.arange(num_steps))
+    return x1, jnp.asarray(2 * num_steps, jnp.int32)
+
+
+def odeint_rk4(v: VField, x0: Array, num_steps: int = 25,
+               t0: float = 0.0, t1: float = 1.0) -> Tuple[Array, Array]:
+    ts = _time_grid(num_steps, t0, t1)
+
+    def body(x, k):
+        t, dt = ts[k], ts[k + 1] - ts[k]
+        k1 = v(t, x)
+        k2 = v(t + dt / 2, x + dt / 2 * k1)
+        k3 = v(t + dt / 2, x + dt / 2 * k2)
+        k4 = v(t + dt, x + dt * k3)
+        return x + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4), None
+
+    x1, _ = jax.lax.scan(body, x0, jnp.arange(num_steps))
+    return x1, jnp.asarray(4 * num_steps, jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Dormand–Prince 5(4), adaptive
+# ---------------------------------------------------------------------------
+
+_DP_C = np.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+_DP_A = np.array([
+    [1 / 5, 0, 0, 0, 0, 0],
+    [3 / 40, 9 / 40, 0, 0, 0, 0],
+    [44 / 45, -56 / 15, 32 / 9, 0, 0, 0],
+    [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729, 0, 0],
+    [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656, 0],
+    [35 / 384, 0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
+])
+_DP_B5 = np.array([35 / 384, 0, 500 / 1113, 125 / 192, -2187 / 6784,
+                   11 / 84, 0])
+_DP_B4 = np.array([5179 / 57600, 0, 7571 / 16695, 393 / 640,
+                   -92097 / 339200, 187 / 2100, 1 / 40])
+
+
+def odeint_dopri5(v: VField, x0: Array, t0: float = 0.0, t1: float = 1.0,
+                  rtol: float = 1e-5, atol: float = 1e-5,
+                  max_steps: int = 1000) -> Tuple[Array, Array]:
+    """Adaptive RK45 with FSAL and a standard 0.9-safety step controller.
+
+    Runs fully on device (`lax.while_loop`); `max_steps` bounds compilation.
+    Matches the torchdiffeq dopri5 protocol used by the reference's FID
+    scripts (cifar10/compute_fid.py:79-87).
+    """
+    dtype = x0.dtype
+
+    def step_once(t, x, dt, k1):
+        ks = [k1]
+        for s in range(1, 7):
+            incr = sum(float(_DP_A[s - 1][j]) * ks[j] for j in range(s)
+                       if _DP_A[s - 1][j] != 0.0)
+            ks.append(v(t + float(_DP_C[s]) * dt, x + dt * incr))
+        x5 = x + dt * sum(float(b) * k for b, k in zip(_DP_B5, ks)
+                          if b != 0.0)
+        x4 = x + dt * sum(float(b) * k for b, k in zip(_DP_B4, ks)
+                          if b != 0.0)
+        return x5, x4, ks[-1]  # FSAL: k7 at (t+dt, x5)
+
+    def err_norm(x5, x4, x, x_new):
+        scale = atol + rtol * jnp.maximum(jnp.abs(x), jnp.abs(x_new))
+        return jnp.sqrt(jnp.mean(((x5 - x4) / scale) ** 2))
+
+    def cond(state):
+        t, x, dt, k1, nfe, done = state
+        return jnp.logical_and(~done, nfe < 6 * max_steps)
+
+    def body(state):
+        t, x, dt, k1, nfe, done = state
+        dt = jnp.minimum(dt, t1 - t)
+        x5, x4, k7 = step_once(t, x, dt, k1)
+        err = err_norm(x5, x4, x, x5)
+        accept = err <= 1.0
+        factor = jnp.clip(0.9 * (err + 1e-10) ** -0.2, 0.2, 10.0)
+        new_dt = dt * factor
+        t = jnp.where(accept, t + dt, t)
+        x = jax.tree.map(lambda a, b: jnp.where(accept, b, a), x, x5)
+        k1 = jax.tree.map(lambda a, b: jnp.where(accept, b, a), k1, k7)
+        done = t >= t1 - 1e-8
+        return (t, x, new_dt, k1, nfe + 6, done)
+
+    k1 = v(jnp.asarray(t0, dtype), x0)
+    init = (jnp.asarray(t0, jnp.float32), x0,
+            jnp.asarray((t1 - t0) / 100.0, jnp.float32), k1,
+            jnp.asarray(1, jnp.int32), jnp.asarray(False))
+    t, x1, _, _, nfe, _ = jax.lax.while_loop(cond, body, init)
+    return x1, nfe
+
+
+INTEGRATORS = {
+    "euler": odeint_euler,
+    "midpoint": odeint_midpoint,
+    "heun": odeint_heun,
+    "rk4": odeint_rk4,
+    "dopri5": odeint_dopri5,
+}
+
+
+def odeint(v: VField, x0: Array, method: str = "euler", **kw
+           ) -> Tuple[Array, Array]:
+    if method not in INTEGRATORS:
+        raise NotImplementedError(
+            f"Unknown integrator {method!r}; expected {sorted(INTEGRATORS)}")
+    return INTEGRATORS[method](v, x0, **kw)
