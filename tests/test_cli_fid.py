@@ -1,0 +1,108 @@
+"""Smoke tests: CFM training CLI end-to-end tiny run + FID machinery."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_diffusion.eval.fid import (FID, compute_statistics,
+                                    frechet_distance, make_feature_fn)
+from tpu_diffusion.eval.metrics import psnr, ssim
+
+
+def test_frechet_distance_zero_for_identical():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(500, 8))
+    mu, sig = compute_statistics(x)
+    assert frechet_distance(mu, sig, mu, sig) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_frechet_distance_known_gaussians():
+    """For isotropic Gaussians: FID = ||dmu||^2 + sum (sqrt(v1)-sqrt(v2))^2."""
+    d = 4
+    mu1, mu2 = np.zeros(d), np.ones(d) * 2.0
+    s1, s2 = np.eye(d), np.eye(d) * 4.0
+    want = 4.0 * d + d * (1.0 - 2.0) ** 2
+    got = frechet_distance(mu1, s1, mu2, s2)
+    assert got == pytest.approx(want, rel=1e-6)
+
+
+def test_fid_accumulator_discriminates():
+    """FID(real, real-like) << FID(real, noise)."""
+    fn = make_feature_fn("random_conv", image_size=16, channels=1)
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(64, 16, 16, 1)).astype(np.float32) * 0.1
+
+    fid_close = FID(fn)
+    fid_far = FID(fn)
+    for f in (fid_close, fid_far):
+        f.update(jnp.asarray(base), real=True)
+    fid_close.update(jnp.asarray(base + 0.01), real=False)
+    fid_far.update(jnp.asarray(
+        rng.uniform(-1, 1, size=(64, 16, 16, 1)).astype(np.float32)),
+        real=False)
+    assert fid_close.compute() < fid_far.compute() * 0.5
+
+
+def test_inception_kind_raises_without_weights():
+    with pytest.raises((FileNotFoundError, NotImplementedError)):
+        make_feature_fn("inception")
+
+
+def test_psnr_ssim_sanity():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.uniform(-1, 1, (4, 16, 16, 1)).astype(np.float32))
+    assert float(psnr(a, a).min()) > 60
+    np.testing.assert_allclose(ssim(a, a), 1.0, atol=1e-5)
+    noisy = a + 0.2 * jnp.asarray(
+        rng.normal(size=a.shape).astype(np.float32))
+    assert float(psnr(a, noisy).mean()) < 30
+    assert float(ssim(a, noisy).mean()) < 0.95
+
+
+def test_train_cifar10_cli_tiny(tmp_path):
+    """3 steps of icfm training on the synthetic CIFAR set + sampling."""
+    from tpu_diffusion.cli import train_cifar10 as cli
+    out = str(tmp_path / "results")
+    cli.main(["--model", "icfm", "--output_dir", out,
+              "--num_channel", "8", "--total_steps", "3",
+              "--batch_size", "16", "--save_step", "1000",
+              "--warmup", "2", "--sample_grid", "8", "--sample_steps", "4"])
+    assert os.path.exists(os.path.join(out, "icfm", "metrics.csv")) or \
+        os.path.exists(os.path.join(out, "icfm", "config.yaml"))
+    # final sample grid got written
+    imgs = os.listdir(os.path.join(out, "icfm", "images"))
+    assert any(f.startswith("icfm_generated") for f in imgs)
+
+
+def test_train_cifar10_cli_otcfm_sinkhorn(tmp_path):
+    """OT-CFM with the on-device sinkhorn pairing (TPU-safe path)."""
+    from tpu_diffusion.cli import train_cifar10 as cli
+    out = str(tmp_path / "results")
+    cli.main(["--model", "otcfm", "--ot_method", "sinkhorn",
+              "--output_dir", out, "--num_channel", "8",
+              "--total_steps", "2", "--batch_size", "16",
+              "--save_step", "1000", "--warmup", "2",
+              "--sample_grid", "8", "--sample_steps", "4"])
+    assert os.path.exists(os.path.join(out, "otcfm", "config.yaml"))
+
+
+def test_compute_fid_cli_tiny(tmp_path):
+    """Train 2 steps then run the FID CLI with euler-4 and random features."""
+    from tpu_diffusion.cli import compute_fid as fid_cli
+    from tpu_diffusion.cli import train_cifar10 as cli
+    out = str(tmp_path / "results")
+    cli.main(["--model", "icfm", "--output_dir", out, "--num_channel", "8",
+              "--total_steps", "2", "--batch_size", "16",
+              "--save_step", "1000", "--warmup", "2",
+              "--sample_grid", "8", "--sample_steps", "4"])
+    fid_cli.main(["--model", "icfm", "--input_dir", out,
+                  "--num_channel", "8", "--integration_method", "euler",
+                  "--integration_steps", "4", "--num_gen", "64",
+                  "--batch_size_fid", "64"])
+    with open(os.path.join(out, "icfm", "fid_random_conv.json")) as f:
+        result = json.load(f)
+    assert np.isfinite(result["fid"])
+    assert result["mean_nfe"] == 4

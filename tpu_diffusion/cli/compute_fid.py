@@ -1,0 +1,119 @@
+"""FID evaluation of a trained CFM model.
+
+Rebuilds `cifar10/compute_fid.py` == `mnist/compute_fid.py`:
+
+    python -m tpu_diffusion.cli.compute_fid --model otcfm \
+        --input_dir results --integration_method dopri5 --num_gen 50000
+
+Protocol (compute_fid.py:28-31, 73-100): load the EMA params from the
+newest checkpoint, integrate the velocity field from noise (dopri5
+atol=rtol=1e-5, or fixed-step euler with --integration_steps), quantize to
+uint8 range, and compute the Frechet distance against the dataset train
+split. Generation is batched (default 1024) and jitted; with multiple chips
+the batch shards over the mesh data axis.
+
+Feature extractor: --features {random_conv, inception}. See
+tpu_diffusion/eval/fid.py for comparability caveats.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_diffusion.cli.train_cifar10 import build_model
+from tpu_diffusion.data.registry import epoch_batches, get_dataset
+from tpu_diffusion.eval.fid import FID, make_feature_fn
+from tpu_diffusion.sampling.ode import odeint
+from tpu_diffusion.train.checkpoint import CheckpointManager
+
+
+def quantize_roundtrip(x: jnp.ndarray) -> jnp.ndarray:
+    """[-1,1] float -> uint8 -> [-1,1] float (the reference quantizes
+    generated images to uint8 before FID, compute_fid.py:88-91)."""
+    u8 = jnp.clip((x + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+    return u8.astype(jnp.float32) / 127.5 - 1.0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="otcfm")
+    p.add_argument("--input_dir", default="results")
+    p.add_argument("--dataset", default="cifar10")
+    p.add_argument("--num_channel", type=int, default=128)
+    p.add_argument("--integration_method", default="dopri5",
+                   choices=["dopri5", "euler", "heun", "midpoint", "rk4"])
+    p.add_argument("--integration_steps", type=int, default=100)
+    p.add_argument("--tol", type=float, default=1e-5)
+    p.add_argument("--num_gen", type=int, default=50000)
+    p.add_argument("--batch_size_fid", type=int, default=1024)
+    p.add_argument("--features", default="random_conv",
+                   choices=["random_conv", "inception"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data_root", default="data")
+    args = p.parse_args(argv)
+
+    ds = get_dataset(args.dataset)(args.data_root, train=True)
+    h, w, c = ds.shape
+    model = build_model(image_size=h, num_channels=args.num_channel,
+                        channels=c)
+
+    ckpt_dir = os.path.join(args.input_dir, args.model, "ckpt")
+    mgr = CheckpointManager(ckpt_dir)
+    x0 = jnp.zeros((1, h, w, c))
+    params0 = model.init(jax.random.PRNGKey(0), jnp.zeros((1,)), x0)
+    assets, step = mgr.load({"params": params0, "ema": params0, "step": 0})
+    params = assets["ema"]  # FID uses the EMA weights (compute_fid.py:54-64)
+    print(f"[compute_fid] restored step {step} from {ckpt_dir}")
+
+    def velocity(t, x):
+        return model.apply(params, t, x)
+
+    @jax.jit
+    def gen_batch(key):
+        noise = jax.random.normal(key, (args.batch_size_fid, h, w, c))
+        if args.integration_method == "dopri5":
+            x1, nfe = odeint(velocity, noise, method="dopri5",
+                             rtol=args.tol, atol=args.tol)
+        else:
+            x1, nfe = odeint(velocity, noise,
+                             method=args.integration_method,
+                             num_steps=args.integration_steps)
+        return quantize_roundtrip(jnp.clip(x1, -1, 1)), nfe
+
+    feature_fn = make_feature_fn(args.features, image_size=h, channels=c)
+    fid = FID(feature_fn)
+    for batch in epoch_batches(ds, args.batch_size_fid):
+        fid.update(jnp.asarray(batch), real=True)
+
+    key = jax.random.PRNGKey(args.seed)
+    total_nfe = 0
+    n_batches = -(-args.num_gen // args.batch_size_fid)
+    for i in range(n_batches):
+        key, k = jax.random.split(key)
+        imgs, nfe = gen_batch(k)
+        total_nfe += int(nfe)
+        fid.update(imgs, real=False)
+        if i % 5 == 0:
+            print(f"[compute_fid] generated {min((i+1)*args.batch_size_fid, args.num_gen)}"
+                  f"/{args.num_gen}")
+
+    score = fid.compute()
+    result = {"fid": score, "features": args.features, "step": int(step),
+              "num_gen": n_batches * args.batch_size_fid,
+              "mean_nfe": total_nfe / n_batches,
+              "method": args.integration_method}
+    print(json.dumps(result))
+    out = os.path.join(args.input_dir, args.model,
+                       f"fid_{args.features}.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,263 @@
+"""Amortised-diffusion experiment runner.
+
+Rebuilds `amortised diffusion/experiments/main.py`:
+
+    python -m tpu_diffusion.cli.main \
+        --config mnist,inpainting,amortized --mode all \
+        --override training.batch_size=64 ...
+
+Modes: train / eval / all (main.py:57-60). Keeps the versioned experiment
+directory scheme `logs/<ds>_<cond>_<lik>/version_XX` (main.py:80-92), the
+callback cadence (ckpt + plots every num_steps/10, scalars every 10), EMA
+(beta=0.995, update_every=10), and the eval protocol (conditional samples
+over num_test images -> MSE/PSNR/SSIM stats + sample grids + results.json).
+
+TPU-native: the train step and the 1000-step conditional sampler are single
+jitted programs, batch-sharded over the mesh data axis.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_diffusion.conditioning.guidance import get_conditioning
+from tpu_diffusion.conditioning.likelihoods import get_likelihood
+from tpu_diffusion.core.schedules import DDPM
+from tpu_diffusion.data.registry import get_dataset, infinite_batches
+from tpu_diffusion.eval.metrics import eval_statistics
+from tpu_diffusion.losses.ddpm import get_loss_function
+from tpu_diffusion.models.unet import create_model
+from tpu_diffusion.parallel.mesh import make_mesh, shard_batch
+from tpu_diffusion.sampling.ancestral import (make_conditional_sampler,
+                                              make_prior_sampler)
+from tpu_diffusion.train.actions import PeriodicCallback
+from tpu_diffusion.train.checkpoint import CheckpointManager
+from tpu_diffusion.train.trainer import (TrainState, Trainer, make_optimizer,
+                                         make_train_step)
+from tpu_diffusion.train.writers import LocalWriter, MultiWriter, TensorBoardWriter
+from tpu_diffusion.utils.config import apply_overrides, get_config
+
+
+def experiment_dir(base: str, spec: str) -> str:
+    """logs/<ds>_<cond>_<lik>/version_XX (main.py:80-92)."""
+    ds, lik, cond = (s.strip() for s in spec.split(","))
+    root = os.path.join(base, f"{ds}_{cond}_{lik}")
+    os.makedirs(root, exist_ok=True)
+    existing = [int(d.split("_")[1]) for d in os.listdir(root)
+                if d.startswith("version_")]
+    version = max(existing, default=-1) + 1
+    path = os.path.join(root, f"version_{version:02d}")
+    os.makedirs(path)
+    return path
+
+
+def build(config, mesh=None):
+    """Instantiate dataset/model/process/likelihood/conditioning; returns a
+    dict of parts (mirrors main.py:100-142)."""
+    dsc, net_c = config.dataset, config.network
+    likelihood = None
+    if config.likelihood.name != "none":
+        lik_cls = get_likelihood(config.likelihood.name)
+        likelihood = lik_cls.from_configdict(config.likelihood)
+    conditioning = None
+    if config.conditioning.name != "none":
+        cond_cls = get_conditioning(config.conditioning.name)
+        conditioning = cond_cls.from_configdict(config.conditioning)
+
+    amortized = config.conditioning.name == "amortized"
+    in_channels = dsc.num_channels * (2 if amortized else 1)  # main.py:121-123
+    model = create_model(
+        image_size=dsc.image_size, num_channels=net_c.num_channels,
+        num_res_blocks=net_c.num_res_blocks, in_channels=in_channels,
+        out_channels=dsc.num_channels, channel_mult=net_c.channel_mult,
+        num_heads=net_c.num_heads, num_head_channels=net_c.num_head_channels,
+        attention_resolutions=net_c.attention_resolutions,
+        dropout=net_c.dropout, use_scale_shift_norm=net_c.use_scale_shift_norm,
+        attention_impl=net_c.attention_impl,
+        dtype=jnp.bfloat16 if net_c.dtype == "bfloat16" else jnp.float32)
+    ddpm = DDPM.create(config.diffusion.num_steps)
+    return dict(model=model, ddpm=ddpm, likelihood=likelihood,
+                conditioning=conditioning, in_channels=in_channels)
+
+
+def init_state(config, parts, rng):
+    dsc = config.dataset
+    x = jnp.zeros((1, dsc.image_size, dsc.image_size, parts["in_channels"]))
+    params = parts["model"].init(rng, x, jnp.zeros((1,)))
+    tx = make_optimizer(config.training.learning_rate,
+                        warmup=config.training.warmup,
+                        grad_clip=config.training.grad_clip,
+                        total_steps=max(config.training.num_steps, 1),
+                        schedule=config.training.lr_schedule)
+    state = TrainState.create(params, tx, rng)
+    return state, tx
+
+
+def make_losses_and_samplers(config, parts, params_getter):
+    """Wire loss + samplers around a params accessor (so samplers track EMA
+    params without retracing)."""
+    model, ddpm = parts["model"], parts["ddpm"]
+    cond, lik = parts["conditioning"], parts["likelihood"]
+
+    def net_with(params):
+        return lambda xi, t: model.apply(params, xi, t)
+
+    def loss_fn(params, key, batch):
+        lf, _ = get_loss_function(net_with(params), ddpm, cond, lik)
+        return lf(key, batch)
+
+    def eps_with(params):
+        _, em = get_loss_function(net_with(params), ddpm, cond, lik)
+        return em
+
+    @functools.partial(jax.jit, static_argnums=())
+    def cond_sample(params, key, xT, condition):
+        sampler = make_conditional_sampler(eps_with(params), ddpm, cond, lik)
+        return sampler(key, xT, condition)
+
+    @jax.jit
+    def prior_sample(params, key, xT):
+        sampler = make_prior_sampler(eps_with(params), ddpm, cond, lik)
+        return sampler(key, xT)
+
+    return loss_fn, cond_sample, prior_sample
+
+
+def run_eval(config, parts, params, logdir: str, writer=None,
+             step: int = 0, tag: str = "eval") -> dict:
+    """Conditional sampling over the test set + metrics + results.json
+    (main.py:261-314, without the torch-pretrained FID)."""
+    dsc = config.dataset
+    lik = parts["likelihood"]
+    _, cond_sample, _ = make_losses_and_samplers(config, parts, None)
+    test = get_dataset(dsc.name)(dsc.root, train=False)
+    bs = config.testing.batch_size
+    num_batches = max(config.testing.num_test // bs, 1)
+    key = jax.random.PRNGKey(config.testing.seed)
+    stats = []
+    samples, gts = [], []
+    for b in range(num_batches):
+        imgs = jnp.asarray(test.images[b * bs:(b + 1) * bs])
+        if len(imgs) < bs:
+            break
+        key, kc, kx, ks = jax.random.split(key, 4)
+        condition = lik.sample(kc, imgs)
+        xT = jax.random.normal(kx, imgs.shape)
+        x0 = cond_sample(params, ks, xT, condition)
+        stats.append({k: float(v) for k, v in
+                      eval_statistics(x0, imgs).items()})
+        if b == 0:
+            samples, gts = np.asarray(x0), np.asarray(imgs)
+    results = {k: float(np.mean([s[k] for s in stats]))
+               for k in (stats[0] if stats else {})}
+    results["num_images"] = num_batches * bs
+    with open(os.path.join(logdir, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    if writer is not None and len(samples):
+        writer.write_images(step, {f"{tag}_samples": samples[:64],
+                                   f"{tag}_ground_truth": gts[:64]})
+        writer.write_scalars(step, {f"{tag}/{k}": v
+                                    for k, v in results.items()})
+    return results
+
+
+def main(argv: Optional[list] = None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="mnist,inpainting,amortized",
+                   help="<dataset>,<likelihood>,<conditioning>")
+    p.add_argument("--mode", default="all",
+                   choices=["train", "eval", "all"])
+    p.add_argument("--override", action="append", default=[],
+                   help="dotted config overrides, e.g. training.num_steps=100")
+    p.add_argument("--workdir", default=None)
+    args = p.parse_args(argv)
+
+    config = get_config(args.config)
+    apply_overrides(config, args.override)
+
+    logdir = args.workdir or experiment_dir(config.logdir, args.config)
+    writer = MultiWriter([LocalWriter(logdir),
+                          TensorBoardWriter(os.path.join(logdir, "tb"))])
+    writer.log_hparams(config.to_dict())
+
+    mesh = make_mesh(model=config.mesh.model_axis)
+    parts = build(config, mesh)
+    dsc = config.dataset
+    train_ds = get_dataset(dsc.name)(dsc.root, train=True)
+
+    num_steps = config.training.num_steps
+    if num_steps == 0:
+        num_steps = (config.training.epochs * len(train_ds)
+                     // config.training.batch_size)
+        config.training.num_steps = num_steps
+
+    rng = jax.random.PRNGKey(config.training.seed)
+    state, tx = init_state(config, parts, rng)
+    loss_fn, cond_sample, prior_sample = make_losses_and_samplers(
+        config, parts, None)
+    train_step = make_train_step(
+        loss_fn, tx, ema_decay=config.training.ema_decay,
+        ema_update_every=config.training.ema_update_every)
+
+    ckpt = CheckpointManager(os.path.join(logdir, "ckpt"), maximum=3)
+
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    print(f"[main] {args.config} -> {logdir}; params={n_params/1e6:.2f}M; "
+          f"steps={num_steps}; devices={len(jax.devices())}")
+
+    if args.mode in ("train", "all"):
+        batches = infinite_batches(train_ds, config.training.batch_size,
+                                   seed=config.training.seed)
+        every = max(num_steps // 10, 1)
+
+        def save_ckpt(step, state, **kw):
+            ckpt.save(step, jax.tree.map(np.asarray, {
+                "params": state.params, "ema": state.ema.params,
+                "step": step}))
+
+        def plot_samples(step, state, **kw):
+            imgs = jnp.asarray(train_ds.images[:16])
+            k = jax.random.fold_in(jax.random.PRNGKey(1), step)
+            cond = parts["likelihood"].sample(k, imgs)
+            xT = jax.random.normal(k, imgs.shape)
+            x0 = cond_sample(state.ema.params, k, xT, cond)
+            writer.write_images(step, {
+                "samples": np.asarray(x0),
+                "condition": np.asarray(jnp.clip(cond, -1, 1))})
+
+        def scalars(step, metrics, **kw):
+            writer.write_scalars(step, metrics)
+
+        callbacks = [
+            PeriodicCallback(callback_fn=scalars, every_steps=10),
+            PeriodicCallback(callback_fn=save_ckpt, every_steps=every),
+            PeriodicCallback(callback_fn=plot_samples, every_steps=every),
+        ]
+        trainer = Trainer(train_step, state, batches, mesh=mesh,
+                          callbacks=callbacks)
+        state = trainer.fit(num_steps)
+        save_ckpt(int(state.step), state)
+
+    if args.mode in ("eval", "all"):
+        if args.mode == "eval":
+            assets, _ = ckpt.load({"params": state.params,
+                                   "ema": state.ema.params, "step": 0})
+            ema_params = assets["ema"]
+        else:
+            ema_params = state.ema.params
+        results = run_eval(config, parts, ema_params, logdir, writer,
+                           step=int(state.step))
+        print("[main] eval:", json.dumps(results, indent=2))
+    writer.flush()
+
+
+if __name__ == "__main__":
+    main()

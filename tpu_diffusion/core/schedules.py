@@ -210,6 +210,12 @@ class DDPM:
         if betas is None:
             betas = linear_vpsde_betas(num_steps, tmin=tmin, tmax=tmax)
         betas = np.asarray(betas, np.float64)
+        if not (np.all(betas > 0) and np.all(betas <= 1)):
+            # validity asserts mirroring src/diffusion/schedule_discrete.py
+            raise ValueError(
+                f"betas must lie in (0, 1]; got range [{betas.min():.4g}, "
+                f"{betas.max():.4g}] (the discretized VP-SDE schedule needs "
+                f"num_steps > beta_max = 20)")
         ts = np.linspace(tmin, tmax, num_steps, dtype=np.float64)
         alphas = 1.0 - betas
         abar = np.cumprod(alphas)

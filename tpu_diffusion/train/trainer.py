@@ -1,0 +1,143 @@
+"""The one training loop (replaces the reference's five: image_diffusion
+trainer.py/trainer2.py, the three mnist/cifar `fit()` loops, and the
+Lightning ResDiff loop for proteins — SURVEY.md L5).
+
+Design: a pure jitted `train_step(state, batch) -> (state, metrics)` closed
+over the loss, optimizer, and EMA; batch sharded over the mesh "data" axis,
+state replicated (or model-sharded). The host loop only feeds batches and
+fires periodic actions (checkpoint / metrics / eval / plots) — exactly the
+cadence scheme of experiments/main.py:220-226.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from tpu_diffusion.core.ema import EMAState, ema_update
+from tpu_diffusion.parallel.mesh import (batch_sharding, make_mesh,
+                                         replicate, replicated, shard_batch)
+
+Array = jax.Array
+PyTree = Any
+# loss(params, key, batch) -> scalar
+LossFn = Callable[[PyTree, Array, Array], Array]
+
+
+@struct.dataclass
+class TrainState:
+    step: Array            # int32 scalar
+    params: PyTree
+    opt_state: PyTree
+    ema: EMAState
+    rng: Array
+
+    @classmethod
+    def create(cls, params: PyTree, tx: optax.GradientTransformation,
+               rng: Array) -> "TrainState":
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params), ema=EMAState.create(params),
+                   rng=rng)
+
+
+def make_optimizer(lr: float | optax.Schedule, warmup: int = 0,
+                   grad_clip: Optional[float] = 1.0,
+                   total_steps: Optional[int] = None,
+                   schedule: str = "warmup") -> optax.GradientTransformation:
+    """Adam + warmup (+ optional cosine decay) + global-norm clipping.
+
+    `schedule="warmup"` is the reference CIFAR recipe (LambdaLR
+    min(step/warmup, 1), train_cifar10.py:54-56,107); "warmup_cosine" is the
+    experiments/main.py:228-236 SequentialLR recipe; "constant" disables.
+    """
+    if callable(lr):
+        sched = lr
+    elif schedule == "constant" or warmup == 0:
+        sched = optax.constant_schedule(lr)
+    elif schedule == "warmup_cosine":
+        assert total_steps is not None
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, lr, warmup, max(total_steps, warmup + 1))
+    else:
+        sched = lambda step: lr * jnp.minimum(
+            (step + 1) / max(warmup, 1), 1.0)
+    parts = []
+    if grad_clip is not None:
+        parts.append(optax.clip_by_global_norm(grad_clip))
+    parts.append(optax.adam(sched))
+    return optax.chain(*parts)
+
+
+def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
+                    ema_decay: float = 0.9999, ema_update_every: int = 1,
+                    ema_update_after: int = 0) -> Callable:
+    """Build the pure train step; jit it (with shardings) at the call site."""
+
+    def train_step(state: TrainState, batch: PyTree):
+        rng, key = jax.random.split(state.rng)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, key, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_update(state.ema, params, ema_decay,
+                         update_every=ema_update_every,
+                         update_after=ema_update_after)
+        gnorm = optax.global_norm(grads)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, ema=ema, rng=rng)
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    return train_step
+
+
+class Trainer:
+    """fit() = feed batches to the jitted step + fire periodic callbacks.
+
+    Callbacks receive (step, state, metrics) via keyword args, mirroring
+    `PeriodicCallback` usage at experiments/main.py:210-226.
+    """
+
+    def __init__(self, train_step: Callable, state: TrainState,
+                 batches: Iterator, mesh=None,
+                 callbacks: Optional[List[Callable]] = None,
+                 donate: Optional[bool] = None):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.callbacks = callbacks or []
+        if donate is None:
+            # Buffer donation of the replicated state deadlocks XLA:CPU's
+            # in-process all-reduce rendezvous AND raises INVALID_ARGUMENT
+            # on the axon TPU backend; default off (opt back in on stock
+            # Cloud TPU runtimes where donation is safe).
+            donate = False
+        state_sh = replicated(self.mesh)
+        data_sh = batch_sharding(self.mesh)
+        self.state = replicate(self.mesh, state)
+        self._step_fn = jax.jit(
+            train_step,
+            in_shardings=(state_sh, data_sh),
+            out_shardings=(state_sh, state_sh),
+            donate_argnums=(0,) if donate else (),
+        )
+        self._batches = batches
+
+    def fit(self, num_steps: int,
+            metrics_hook: Optional[Callable[[int, Dict], None]] = None
+            ) -> TrainState:
+        t0 = time.monotonic()
+        for local_step in range(num_steps):
+            batch = shard_batch(self.mesh, next(self._batches))
+            self.state, metrics = self._step_fn(self.state, batch)
+            step = int(self.state.step)
+            if metrics_hook is not None or self.callbacks:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["steps_per_sec"] = (local_step + 1) / (
+                    time.monotonic() - t0)
+                if metrics_hook is not None:
+                    metrics_hook(step, m)
+                for cb in self.callbacks:
+                    cb(step, state=self.state, metrics=m)
+        return self.state

@@ -1,0 +1,164 @@
+"""Experiment configuration (rebuilds `amortised diffusion/experiments/
+config.py`): one ml_collections system with the reference's
+`<dataset>,<likelihood>,<conditioning>` spec strings and dotted CLI
+overrides, replacing the reference's four coexisting flag systems
+(SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import ml_collections
+
+DATASETS = ("mnist", "flowers", "celeba", "cifar10")
+LIKELIHOODS = ("inpainting", "outpainting", "hyperresolution", "none")
+CONDITIONINGS = ("amortized", "reconstruction_guidance", "replacement",
+                 "none")
+
+
+def _dataset_config(name: str) -> ml_collections.ConfigDict:
+    """Dataset geometry (reference config.py:56-72)."""
+    c = ml_collections.ConfigDict()
+    c.name = name
+    if name == "mnist":
+        c.image_size, c.num_channels = 28, 1
+    elif name == "cifar10":
+        c.image_size, c.num_channels = 32, 3
+    else:  # flowers / celeba
+        c.image_size, c.num_channels = 64, 3
+    c.root = "data"
+    return c
+
+
+def _likelihood_config(name: str, dataset: str) -> ml_collections.ConfigDict:
+    """Forward-operator defaults (reference config.py:38-54)."""
+    c = ml_collections.ConfigDict()
+    c.name = name
+    if name == "inpainting":
+        c.patch_size = 20 if dataset != "mnist" else 14
+        c.pad_value = -2.0
+    elif name == "outpainting":
+        c.patch_size = 24 if dataset != "mnist" else 16
+        c.pad_value = -2.0
+    elif name == "hyperresolution":
+        c.target_height = 16 if dataset != "mnist" else 7
+        c.target_width = 16 if dataset != "mnist" else 7
+    return c
+
+
+def _conditioning_config(name: str) -> ml_collections.ConfigDict:
+    """Guidance defaults (reference config.py:75-97)."""
+    c = ml_collections.ConfigDict()
+    c.name = name
+    c.n_corrector = 0
+    c.delta = 0.1
+    if name == "amortized":
+        c.p_cond = 0.9
+    elif name == "reconstruction_guidance":
+        c.gamma = 10.0
+        c.start_fraction = 1.0
+        c.update_rule = "before"
+    elif name == "replacement":
+        c.start_fraction = 1.0
+        c.noise = True
+    return c
+
+
+def _network_config(dataset: str) -> ml_collections.ConfigDict:
+    """Per-dataset UNet configs (reference config.py:100-126)."""
+    c = ml_collections.ConfigDict()
+    if dataset == "mnist":
+        c.num_channels = 32
+        c.channel_mult = "1,2,2"
+        c.num_res_blocks = 2
+        c.num_heads = 4
+        c.num_head_channels = -1
+        c.attention_resolutions = "14,7"
+        c.use_scale_shift_norm = False
+    else:
+        c.num_channels = 128
+        c.channel_mult = ""
+        c.num_res_blocks = 2
+        c.num_heads = 4
+        c.num_head_channels = 64
+        c.attention_resolutions = "32,16,8"
+        c.use_scale_shift_norm = True
+    c.dropout = 0.0
+    c.attention_impl = "xla"
+    c.dtype = "bfloat16"
+    return c
+
+
+def get_config(spec: str = "mnist,inpainting,amortized"
+               ) -> ml_collections.ConfigDict:
+    """Compose a full experiment config from
+    "<dataset>,<likelihood>,<conditioning>" (reference config.py:129-193)."""
+    parts = spec.split(",")
+    if len(parts) != 3:
+        raise ValueError(
+            f"spec must be <dataset>,<likelihood>,<conditioning>: {spec!r}")
+    dataset, likelihood, conditioning = (p.strip() for p in parts)
+    if dataset not in DATASETS:
+        raise ValueError(f"unknown dataset {dataset!r} (choose {DATASETS})")
+    if likelihood not in LIKELIHOODS:
+        raise ValueError(
+            f"unknown likelihood {likelihood!r} (choose {LIKELIHOODS})")
+    if conditioning not in CONDITIONINGS:
+        raise ValueError(
+            f"unknown conditioning {conditioning!r} (choose {CONDITIONINGS})")
+
+    config = ml_collections.ConfigDict()
+    config.spec = spec
+    config.dataset = _dataset_config(dataset)
+    config.likelihood = _likelihood_config(likelihood, dataset)
+    config.conditioning = _conditioning_config(conditioning)
+    config.network = _network_config(dataset)
+
+    # training (reference config.py:172-179)
+    config.training = ml_collections.ConfigDict()
+    config.training.epochs = 100 if dataset == "flowers" else 10
+    config.training.batch_size = 32
+    config.training.learning_rate = 1e-3
+    config.training.warmup = 1000
+    config.training.lr_schedule = "warmup_cosine"
+    config.training.grad_clip = 1.0
+    config.training.ema_decay = 0.995
+    config.training.ema_update_every = 10
+    config.training.num_steps = 0  # 0 -> derive from epochs * len(ds)
+    config.training.seed = 0
+
+    # diffusion (reference config.py:182-184)
+    config.diffusion = ml_collections.ConfigDict()
+    config.diffusion.num_steps = 1000
+
+    # testing (reference config.py:186-192)
+    config.testing = ml_collections.ConfigDict()
+    config.testing.fid = False
+    config.testing.num_test = 96
+    config.testing.batch_size = 32
+    config.testing.seed = 0
+
+    # parallelism (new: mesh layout)
+    config.mesh = ml_collections.ConfigDict()
+    config.mesh.model_axis = 1
+
+    config.logdir = "logs"
+    return config
+
+
+def apply_overrides(config: ml_collections.ConfigDict, overrides) -> None:
+    """Dotted CLI overrides: ["training.batch_size=64", ...]."""
+    for item in overrides:
+        key, _, val = item.partition("=")
+        ref = config
+        parts = key.split(".")
+        for p in parts[:-1]:
+            ref = ref[p]
+        old = ref[parts[-1]]
+        if isinstance(old, bool):
+            ref[parts[-1]] = val.lower() in ("1", "true", "yes")
+        elif isinstance(old, int):
+            ref[parts[-1]] = int(val)
+        elif isinstance(old, float):
+            ref[parts[-1]] = float(val)
+        else:
+            ref[parts[-1]] = val
