@@ -82,6 +82,33 @@ class ConditionalFlowMatcher:
         ut = self.compute_conditional_flow(x0, x1, t, xt)
         return t, xt, ut
 
+    def sample_location_and_conditional_flow_with_eps(
+            self, key: Array, x0: Array, x1: Array,
+            t: Array | None = None
+    ) -> Tuple[Array, Array, Array, Array]:
+        """Also return the path noise eps (needed by the SF2M score head,
+        used in conditional_mnist.ipynb cells 9-11)."""
+        kt, kx = jax.random.split(key)
+        if t is None:
+            t = self.sample_t(kt, x0.shape[0])
+        mu = self.compute_mu_t(x0, x1, t)
+        sig = _pad_t(self.compute_sigma_t(t), x0.ndim)
+        eps = jax.random.normal(kx, x0.shape, x0.dtype)
+        xt = mu + sig * eps
+        ut = self.compute_conditional_flow(x0, x1, t, xt)
+        return t, xt, ut, eps
+
+    def guided_sample_location_and_conditional_flow(
+            self, key: Array, x0: Array, x1: Array, y1: Array,
+            t: Array | None = None
+    ) -> Tuple[Array, Array, Array, Array]:
+        """Class-guided variant: labels ride along with x1 (torchcfm's
+        guided_* used by conditional_mnist.ipynb). Couplings that reorder
+        x1 reorder y1 identically."""
+        t, xt, ut = self.sample_location_and_conditional_flow(key, x0, x1,
+                                                              t)
+        return t, xt, ut, y1
+
 
 @struct.dataclass
 class TargetConditionalFlowMatcher(ConditionalFlowMatcher):
@@ -214,6 +241,21 @@ class ExactOptimalTransportConditionalFlowMatcher(ConditionalFlowMatcher):
         x0, x1 = self.pair(kp, x0, x1)
         return super().sample_location_and_conditional_flow(kr, x0, x1, t)
 
+    def guided_sample_location_and_conditional_flow(
+            self, key: Array, x0: Array, x1: Array, y1: Array,
+            t: Array | None = None
+    ) -> Tuple[Array, Array, Array, Array]:
+        kp, kr = jax.random.split(key)
+        if self.method == "exact":
+            perm = exact_ot_permutation(x0, x1)
+        else:
+            perm = sinkhorn_assignment(x0, x1, reg=self.reg, key=kp)
+        x1 = jnp.take(x1, perm, axis=0)
+        y1 = jnp.take(y1, perm, axis=0)
+        t, xt, ut = ConditionalFlowMatcher.sample_location_and_conditional_flow(
+            self, kr, x0, x1, t)
+        return t, xt, ut, y1
+
 
 @struct.dataclass
 class SchrodingerBridgeConditionalFlowMatcher(ConditionalFlowMatcher):
@@ -249,6 +291,16 @@ class SchrodingerBridgeConditionalFlowMatcher(ConditionalFlowMatcher):
         perm = sinkhorn_assignment(x0, x1, reg=2 * self.sigma**2, key=kp)
         x1 = jnp.take(x1, perm, axis=0)
         return super().sample_location_and_conditional_flow(kr, x0, x1, t)
+
+    def sample_location_and_conditional_flow_with_eps(
+            self, key: Array, x0: Array, x1: Array,
+            t: Array | None = None
+    ) -> Tuple[Array, Array, Array, Array]:
+        kp, kr = jax.random.split(key)
+        perm = sinkhorn_assignment(x0, x1, reg=2 * self.sigma**2, key=kp)
+        x1 = jnp.take(x1, perm, axis=0)
+        return super().sample_location_and_conditional_flow_with_eps(
+            kr, x0, x1, t)
 
 
 MATCHERS = {
