@@ -196,3 +196,31 @@ def _plain(obj):
     if isinstance(obj, (str, int, float, bool)) or obj is None:
         return obj
     return str(obj)
+
+
+class AimWriter(MetricWriter):
+    """Aim experiment tracker (writers.py:224-279). Gated: the `aim`
+    package is not installed in this environment; construction raises
+    unless it is available."""
+
+    def __init__(self, repo: str, experiment: str = "default"):
+        super().__init__()
+        try:
+            from aim import Run
+        except ImportError as e:
+            raise ImportError(
+                "AimWriter requires the 'aim' package (not installed); "
+                "use LocalWriter/TensorBoardWriter") from e
+        self._run = Run(repo=repo, experiment=experiment)
+
+    def log_hparams(self, hparams):
+        self._run["hparams"] = _plain(hparams)
+
+    def write_scalars(self, step, scalars):
+        for k, v in scalars.items():
+            self._run.track(float(v), name=k, step=step)
+
+    def close(self):
+        if getattr(self, "_run", None) is not None:
+            self._run.close()
+            self._run = None
