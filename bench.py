@@ -22,7 +22,7 @@ from tpu_diffusion.core.schedules import DDPM
 from tpu_diffusion.models.unet import create_model
 from tpu_diffusion.sampling.ancestral import make_ddim_sampler
 
-BATCH = 256
+BATCH = 64
 DDIM_STEPS = 100
 # bf16 peak of one TPU v5e (v5litepod) chip, FLOP/s
 V5E_BF16_PEAK = 394e12
@@ -33,7 +33,8 @@ def main():
         image_size=32, num_channels=128, num_res_blocks=2, in_channels=3,
         channel_mult=(1, 2, 2, 2), num_heads=4,
         attention_resolutions="16", dropout=0.0,
-        use_scale_shift_norm=True, dtype=jnp.bfloat16)
+        use_scale_shift_norm=True, dtype=jnp.bfloat16,
+        attention_impl="pallas")
     x = jnp.zeros((BATCH, 32, 32, 3), jnp.float32)
     t = jnp.zeros((BATCH,))
     params = model.init(jax.random.PRNGKey(0), x, t)
@@ -59,7 +60,7 @@ def main():
     out = sampler(key, xT)
     out.block_until_ready()  # compile + warm up
 
-    n_iters = 3
+    n_iters = 5
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = sampler(jax.random.fold_in(key, i), xT)
