@@ -1,0 +1,119 @@
+"""PDB parsing/writing, partial weight loading, TP sharding."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_diffusion.parallel.mesh import make_mesh
+from tpu_diffusion.parallel.tp import leaf_spec, params_shardings
+from tpu_diffusion.protein.pdb import (load_ca_from_pdb_dir, parse_pdb,
+                                       write_ca_pdb)
+from tpu_diffusion.train.checkpoint import load_matching_params
+
+
+def test_pdb_write_parse_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    coords = (rng.normal(size=(20, 3)) * 5).astype(np.float32)
+    path = str(tmp_path / "gen.pdb")
+    write_ca_pdb(coords, path)
+    s = parse_pdb(path)
+    trace = s.ca_trace()
+    np.testing.assert_allclose(trace, coords, atol=1e-3)
+    assert s.sequence() == "G" * 20
+    assert s.chains() == ["A"]
+
+
+def test_pdb_clean_filters_hetatm_and_altloc(tmp_path):
+    pdb = (
+        "ATOM      1  CA  ALA A   1      1.000   2.000   3.000  1.00  0.00           C\n"
+        "ATOM      2  CA BALA A   2      4.000   5.000   6.000  1.00  0.00           C\n"
+        "ATOM      3  CA AALA A   2      4.100   5.100   6.100  1.00  0.00           C\n"
+        "HETATM    4  O   HOH A 101      0.000   0.000   0.000  1.00  0.00           O\n"
+        "END\n")
+    path = str(tmp_path / "x.pdb")
+    open(path, "w").write(pdb)
+    s = parse_pdb(path).clean()
+    trace = s.ca_trace()
+    assert trace.shape == (2, 3)
+    np.testing.assert_allclose(trace[1], [4.1, 5.1, 6.1], atol=1e-3)
+
+
+def test_load_ca_from_pdb_dir(tmp_path):
+    write_ca_pdb(np.zeros((5, 3), np.float32), str(tmp_path / "a.pdb"))
+    out = load_ca_from_pdb_dir(str(tmp_path))
+    assert "a" in out and out["a"].shape == (5, 3)
+
+
+def test_load_matching_params():
+    fresh = {"a": {"w": jnp.zeros((4, 4)), "b": jnp.zeros(4)},
+             "head": jnp.zeros((4, 2))}
+    loaded = {"a": {"w": jnp.ones((4, 4)), "b": jnp.ones(8)},  # b mismatch
+              "head": jnp.ones((4, 2))}
+    merged, copied, skipped = load_matching_params(fresh, loaded)
+    assert copied == 2 and skipped == 1
+    np.testing.assert_allclose(merged["a"]["w"], 1.0)
+    np.testing.assert_allclose(merged["a"]["b"], 0.0)
+    np.testing.assert_allclose(merged["head"], 1.0)
+
+
+def test_leaf_spec_rules():
+    from jax.sharding import PartitionSpec as P
+    assert leaf_spec((32,), 2) == P()                       # 1-D replicates
+    assert leaf_spec((4, 4), 2, min_shard_elems=1024) == P()  # too small
+    assert leaf_spec((128, 64), 2, min_shard_elems=64) == \
+        P(None, "model")
+    assert leaf_spec((3, 3, 7, 64), 2, min_shard_elems=64) == \
+        P(None, None, None, "model")
+    assert leaf_spec((7, 7), 2, min_shard_elems=1) == P()   # indivisible
+
+
+def test_params_shardings_tree():
+    mesh = make_mesh(model=2)
+    params = {"conv": {"kernel": jnp.zeros((3, 3, 16, 32)),
+                       "bias": jnp.zeros(32)}}
+    sh = params_shardings(mesh, params, min_shard_elems=64)
+    assert sh["conv"]["kernel"].spec == jax.sharding.PartitionSpec(
+        None, None, None, "model")
+    assert sh["conv"]["bias"].spec == jax.sharding.PartitionSpec()
+
+
+def test_tp_train_step_matches_dp():
+    """A TP-sharded train step must produce the same loss as replicated."""
+    import optax
+    from tpu_diffusion.train.trainer import (TrainState, Trainer,
+                                             make_optimizer,
+                                             make_train_step)
+    w_true = jnp.arange(8.0)
+
+    def loss_fn(params, key, batch):
+        return jnp.mean((batch @ params["w"] - batch @ w_true) ** 2)
+
+    tx = make_optimizer(1e-2, warmup=0, schedule="constant")
+    params = {"w": jnp.zeros((8, 8)) if False else jnp.zeros(8)}
+    # need a >=2D shardable param: use a matrix model
+    w_true2 = jnp.eye(8)
+
+    def loss_fn2(params, key, batch):
+        return jnp.mean((batch @ params["w"] - batch @ w_true2) ** 2)
+
+    params = {"w": jnp.zeros((8, 8))}
+    rng = np.random.default_rng(0)
+
+    def batches():
+        while True:
+            yield rng.normal(size=(16, 8)).astype(np.float32)
+
+    losses = {}
+    for tp in [False, True]:
+        state = TrainState.create(params, tx, jax.random.PRNGKey(0))
+        step = make_train_step(loss_fn2, tx, ema_decay=0.9)
+        gen = batches()
+        rng = np.random.default_rng(0)
+        mesh = make_mesh(model=2)
+        tr = Trainer(step, state, gen, mesh=mesh, tensor_parallel=tp)
+        final = tr.fit(5)
+        losses[tp] = np.asarray(final.params["w"])
+    np.testing.assert_allclose(losses[True], losses[False], atol=1e-5)

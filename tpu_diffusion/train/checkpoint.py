@@ -54,3 +54,36 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+
+
+def load_matching_params(params, loaded, verbose: bool = False):
+    """Shape-matched partial parameter load.
+
+    Rebuilds the reference's `load_matching_weights` (image_diffusion/
+    unet.py:22-40): copy every leaf from `loaded` whose path exists in
+    `params` with an identical shape; keep the fresh init elsewhere.
+    Returns (merged_params, n_copied, n_skipped).
+    """
+    import jax
+
+    flat_p = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_flatten_with_path(params)[0]}
+    flat_l = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_flatten_with_path(loaded)[0]}
+    copied = skipped = 0
+    merged = dict(flat_p)
+    for key, val in flat_l.items():
+        if key in flat_p and tuple(flat_p[key].shape) == tuple(val.shape):
+            merged[key] = val
+            copied += 1
+        else:
+            skipped += 1
+            if verbose:
+                print(f"[load_matching_params] skip {key}")
+    # rebuild the tree
+    leaves_by_path = merged
+    paths, treedef = jax.tree_util.tree_flatten_with_path(params)
+    new_leaves = [leaves_by_path[jax.tree_util.keystr(k)]
+                  for k, _ in paths]
+    out = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    return out, copied, skipped

@@ -104,7 +104,8 @@ class Trainer:
     def __init__(self, train_step: Callable, state: TrainState,
                  batches: Iterator, mesh=None,
                  callbacks: Optional[List[Callable]] = None,
-                 donate: Optional[bool] = None):
+                 donate: Optional[bool] = None,
+                 tensor_parallel: bool = False):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.callbacks = callbacks or []
         if donate is None:
@@ -113,13 +114,18 @@ class Trainer:
             # on the axon TPU backend; default off (opt back in on stock
             # Cloud TPU runtimes where donation is safe).
             donate = False
-        state_sh = replicated(self.mesh)
+        if tensor_parallel and self.mesh.shape.get("model", 1) > 1:
+            from tpu_diffusion.parallel.tp import state_shardings
+            state_sh = state_shardings(self.mesh, state)
+            self.state = jax.device_put(state, state_sh)
+        else:
+            state_sh = replicated(self.mesh)
+            self.state = replicate(self.mesh, state)
         data_sh = batch_sharding(self.mesh)
-        self.state = replicate(self.mesh, state)
         self._step_fn = jax.jit(
             train_step,
             in_shardings=(state_sh, data_sh),
-            out_shardings=(state_sh, state_sh),
+            out_shardings=(state_sh, None),
             donate_argnums=(0,) if donate else (),
         )
         self._batches = batches
