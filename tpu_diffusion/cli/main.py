@@ -236,10 +236,23 @@ def main(argv: Optional[list] = None):
         def scalars(step, metrics, **kw):
             writer.write_scalars(step, metrics)
 
+        results_per_step = []
+
+        def periodic_eval(step, state, **kw):
+            # trainer2.py:103-129: conditional samples on the test set ->
+            # MSE/PSNR/SSIM statistics, appended per eval period
+            res = run_eval(config, parts, state.ema.params, logdir, writer,
+                           step=step, tag="train_eval")
+            results_per_step.append({"step": step, "results": res})
+            with open(os.path.join(logdir, "results_per_epoch.json"),
+                      "w") as f:
+                json.dump(results_per_step, f, indent=2)
+
         callbacks = [
             PeriodicCallback(callback_fn=scalars, every_steps=10),
             PeriodicCallback(callback_fn=save_ckpt, every_steps=every),
             PeriodicCallback(callback_fn=plot_samples, every_steps=every),
+            PeriodicCallback(callback_fn=periodic_eval, every_steps=every),
         ]
         trainer = Trainer(train_step, state, batches, mesh=mesh,
                           callbacks=callbacks)

@@ -45,22 +45,27 @@ from tpu_diffusion.train.trainer import (TrainState, Trainer, make_optimizer,
 from tpu_diffusion.train.writers import LocalWriter
 
 
+_IMAGE_SIZES = {"mnist": 28, "flowers": 64, "celeba": 64,
+                "synthetic256": 256}
+
+
 def build(task: str, dataset: str, attention_impl: str = "xla",
           num_channels: int = 0):
-    image_size = 28 if dataset == "mnist" else 64
+    image_size = _IMAGE_SIZES.get(dataset, 64)
     channels = 1 if dataset == "mnist" else 3
     num_channels = num_channels or (32 if dataset == "mnist" else 128)
     dim = (image_size, image_size, channels)
-    if task == "inpaint":
-        model = InPaintModelWrapper(dim=dim, num_channels=num_channels,
-                                    attention_resolutions="16" if
-                                    image_size > 28 else "14",
-                                    attention_impl=attention_impl)
+    if image_size >= 256:
+        # the 4x SR stretch config: deeper multiplier stack, attention at
+        # 32/16/8 token grids (T up to 1024), pallas flash attention
+        attn = "32,16,8"
+        mult = (1, 1, 2, 2, 4, 4)
     else:
-        model = SuperResModelWrapper(dim=dim, num_channels=num_channels,
-                                     attention_resolutions="16" if
-                                     image_size > 28 else "14",
-                                     attention_impl=attention_impl)
+        attn = "16" if image_size > 28 else "14"
+        mult = None
+    cls = InPaintModelWrapper if task == "inpaint" else SuperResModelWrapper
+    model = cls(dim=dim, num_channels=num_channels, channel_mult=mult,
+                attention_resolutions=attn, attention_impl=attention_impl)
     return model, dim
 
 
@@ -147,7 +152,7 @@ def main(argv=None):
     p.add_argument("--task", default="inpaint",
                    choices=["inpaint", "superres"])
     p.add_argument("--dataset", default="mnist",
-                   choices=["mnist", "flowers", "celeba"])
+                   choices=["mnist", "flowers", "celeba", "synthetic256"])
     p.add_argument("--model", default="icfm",
                    choices=["icfm", "otcfm", "fm", "si"])
     p.add_argument("--output_dir", default="results_cfm")

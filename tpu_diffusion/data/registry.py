@@ -264,3 +264,20 @@ def epoch_batches(ds: ArrayDataset, batch_size: int,
     end = n - batch_size + 1 if drop_last else n
     for s in range(0, end, batch_size):
         yield ds.images[s:s + batch_size]
+
+
+@register_dataset("synthetic256")
+def synthetic256(root: str = "data", train: bool = True,
+                 allow_synthetic: bool = True) -> ArrayDataset:
+    """256x256x3 synthetic dataset for the 4x SR stretch config
+    (BASELINE.json configs[4]); loads an image folder under
+    `root/images256` when present."""
+    imgs = _image_folder(os.path.join(root, "images256"), 256)
+    if imgs is not None:
+        n = len(imgs)
+        cut = int(n * 0.9)
+        sel = slice(0, cut) if train else slice(cut, n)
+        return ArrayDataset(imgs[sel], np.zeros(len(imgs[sel]), np.int32),
+                            name="synthetic256")
+    return synthetic_images(256 if train else 64, 256, 256, 3, 8,
+                            seed=8 if train else 9)
