@@ -106,3 +106,11 @@ def test_compute_fid_cli_tiny(tmp_path):
         result = json.load(f)
     assert np.isfinite(result["fid"])
     assert result["mean_nfe"] == 4
+
+
+def test_inception_random_graph_features():
+    fn = make_feature_fn("inception_random")
+    import jax.numpy as jnp
+    out = fn(jnp.zeros((2, 32, 32, 3)))
+    assert out.shape == (2, 2048)
+    assert np.all(np.isfinite(np.asarray(out)))

@@ -120,3 +120,13 @@ def test_rigid_apply():
     pts = jnp.asarray(np.random.default_rng(1).normal(size=(3, 3)))
     np.testing.assert_allclose(np.asarray(frames.apply(pts)),
                                np.asarray(pts), atol=1e-6)
+
+
+def test_so3_cache_dir(tmp_path):
+    import os
+    d = str(tmp_path / "cache")
+    s1 = SO3Diffuser(num_sigma=10, num_omega=50, n_l=20, cache_dir=d)
+    files = os.listdir(d)
+    assert len(files) == 1
+    s2 = SO3Diffuser(num_sigma=10, num_omega=50, n_l=20, cache_dir=d)
+    np.testing.assert_array_equal(np.asarray(s1.cdf), np.asarray(s2.cdf))

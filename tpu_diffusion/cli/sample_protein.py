@@ -71,6 +71,9 @@ def main(argv=None):
     p.add_argument("--no_conditioner", action="store_true")
     p.add_argument("--data_root", default="data/scope")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save_plots", action="store_true",
+                   help="3D structure PNG per sample + a trajectory GIF for "
+                        "the first batch (reference sample.py plots/gifs)")
     args = p.parse_args(argv)
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -113,14 +116,33 @@ def main(argv=None):
             k2, blob, score_model, conditioner=conditioner,
             cond_start_step=args.cond_start_step)
 
+    @jax.jit
+    def run_with_traj(key, lengths):
+        k1, k2 = jax.random.split(key)
+        blob = diffuser.sample_blob(k1, args.batch_size, args.max_len,
+                                    lengths=lengths)
+        return diffuser.reverse_diffusion_sampling(
+            k2, blob, score_model, conditioner=conditioner,
+            cond_start_step=args.cond_start_step, save_trajectory=True)
+
     key = jax.random.PRNGKey(args.seed)
     rng = np.random.default_rng(args.seed)
     saved = 0
     all_losses = []
+    first_batch = True
     while saved < args.num_samples:
         key, k = jax.random.split(key)
         lengths = jnp.asarray(rng.choice(ds.lengths, args.batch_size))
-        out = run(k, lengths)
+        if args.save_plots and first_batch:
+            traj, out = run_with_traj(k, lengths)
+            from tpu_diffusion.eval.plotting import trajectory_gif
+            t0 = np.asarray(traj)[:, 0]
+            m0 = np.asarray(out.mask[0])
+            trajectory_gif(t0[:, m0], os.path.join(
+                args.output_dir, "trajectory_0.gif"), fps=10,
+                stride=max(len(t0) // 40, 1))
+        else:
+            out = run(k, lengths)
         pos = np.asarray(out.pos)
         mask = np.asarray(out.mask)
         if conditioner is not None:
@@ -132,7 +154,16 @@ def main(argv=None):
             coords = pos[i][mask[i]] / COORD_SCALE  # back to Angstrom
             np.save(os.path.join(args.output_dir,
                                  f"sample_{saved:04d}.npy"), coords)
+            from tpu_diffusion.protein.pdb import write_ca_pdb
+            write_ca_pdb(coords, os.path.join(
+                args.output_dir, f"sample_{saved:04d}.pdb"))
+            if args.save_plots and first_batch and i < 4:
+                from tpu_diffusion.eval.plotting import plot_structure
+                fig = plot_structure(coords, f"sample {saved}")
+                fig.savefig(os.path.join(args.output_dir,
+                                         f"sample_{saved:04d}.png"))
             saved += 1
+        first_batch = False
         print(f"[sample_protein] {saved}/{args.num_samples}")
 
     summary = {"num_samples": saved, "ckpt_step": int(step),

@@ -118,9 +118,14 @@ def make_feature_fn(kind: str = "random_conv", image_size: int = 32,
             raise FileNotFoundError(
                 "InceptionV3 weights .npz not found; set "
                 "INCEPTION_WEIGHTS_NPZ or use feature kind 'random_conv' "
-                "(no network egress in this environment)")
+                "(no network egress in this environment). The full "
+                "architecture lives in tpu_diffusion/eval/inception.py "
+                "(use kind='inception_random' for a random-init graph)")
         from tpu_diffusion.eval.inception import load_inception_fn
         return load_inception_fn(path)
+    if kind == "inception_random":
+        from tpu_diffusion.eval.inception import load_inception_fn
+        return load_inception_fn(None)
     raise NotImplementedError(f"Unknown feature extractor {kind!r}")
 
 

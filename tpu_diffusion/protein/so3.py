@@ -43,14 +43,29 @@ class SO3Diffuser:
 
     def __init__(self, min_sigma: float = 0.1, max_sigma: float = 1.5,
                  num_sigma: int = 100, num_omega: int = 500,
-                 n_l: int = 200):
+                 n_l: int = 200, cache_dir: str | None = None):
         self.min_sigma = min_sigma
         self.max_sigma = max_sigma
         self.num_sigma = num_sigma
-        # grids
+        # grids (disk-cached like the reference's
+        # configs/diffusion/default.yaml:33 cache_dir)
         self._omega = np.linspace(1e-4, np.pi, num_omega)
         self._sigma_grid = np.linspace(min_sigma, max_sigma, num_sigma)
-        pdf = _igso3_expansion(self._omega, self._sigma_grid, n_l)
+        pdf = None
+        cache_path = None
+        if cache_dir is not None:
+            import os
+            os.makedirs(cache_dir, exist_ok=True)
+            cache_path = os.path.join(
+                cache_dir,
+                f"igso3_{min_sigma}_{max_sigma}_{num_sigma}_"
+                f"{num_omega}_{n_l}.npz")
+            if os.path.exists(cache_path):
+                pdf = np.load(cache_path)["pdf"]
+        if pdf is None:
+            pdf = _igso3_expansion(self._omega, self._sigma_grid, n_l)
+            if cache_path is not None:
+                np.savez(cache_path, pdf=pdf)
         # density of omega includes the Haar factor (1-cos omega)/pi
         haar = (1 - np.cos(self._omega)) / np.pi
         self._pdf = pdf * haar[None, :]
