@@ -19,7 +19,6 @@ jitted programs, batch-sharded over the mesh data axis.
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 from typing import Optional
@@ -118,7 +117,7 @@ def make_losses_and_samplers(config, parts, params_getter):
         _, em = get_loss_function(net_with(params), ddpm, cond, lik)
         return em
 
-    @functools.partial(jax.jit, static_argnums=())
+    @jax.jit
     def cond_sample(params, key, xT, condition):
         sampler = make_conditional_sampler(eps_with(params), ddpm, cond, lik)
         return sampler(key, xT, condition)
