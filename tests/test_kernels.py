@@ -1,7 +1,5 @@
 """Pallas kernel correctness vs the XLA reference (interpret mode on CPU)."""
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,11 +1,8 @@
 """PDB parsing/writing, partial weight loading, TP sharding."""
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from tpu_diffusion.parallel.mesh import make_mesh
 from tpu_diffusion.parallel.tp import leaf_spec, params_shardings

@@ -10,9 +10,9 @@ from tpu_diffusion.protein.conditioner import (
     Structconditioner, place_indices_block_within_bounds)
 from tpu_diffusion.protein.data import get_protein_data, protein_batches
 from tpu_diffusion.protein.denoiser import GVPDenoiser, edge_features, rbf
-from tpu_diffusion.protein.geometry import (aligned_rmsd, center, kabsch,
+from tpu_diffusion.protein.geometry import (aligned_rmsd, kabsch,
                                             kabsch_align,
-                                            random_rotation_matrix, rmsd)
+                                            random_rotation_matrix)
 from tpu_diffusion.protein.resdiff import resdiff_loss
 from tpu_diffusion.protein.sde import (HoogeboomGraphSDE, ProteinBatch,
                                        VPGraphSDE, com_free_noise)

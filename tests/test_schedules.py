@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from tpu_diffusion.core import (DDPM, VPSDE, cosine_alphas_cumprod,
-                                hoogeboom_alphas_cumprod, linear_vpsde_betas)
+                                hoogeboom_alphas_cumprod)
 
 
 @pytest.fixture(scope="module")

@@ -1,7 +1,5 @@
 """Storage datasets, graph transforms, F1Max."""
 
-import os
-
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -11,9 +11,8 @@ import numpy as np
 import pytest
 
 from tpu_diffusion.core.ema import EMAState, ema_update
-from tpu_diffusion.core.schedules import DDPM
-from tpu_diffusion.data.registry import (ArrayDataset, get_dataset,
-                                         infinite_batches, synthetic_images)
+from tpu_diffusion.data.registry import (get_dataset, infinite_batches,
+                                         synthetic_images)
 from tpu_diffusion.parallel.mesh import (batch_sharding, local_batch_size,
                                          make_mesh, shard_batch)
 from tpu_diffusion.train.actions import PeriodicCallback

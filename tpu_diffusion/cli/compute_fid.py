@@ -24,7 +24,6 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from tpu_diffusion.cli.train_cifar10 import build_model
 from tpu_diffusion.data.registry import epoch_batches, get_dataset

@@ -34,7 +34,7 @@ from tpu_diffusion.data.registry import get_dataset, infinite_batches
 from tpu_diffusion.eval.metrics import eval_statistics
 from tpu_diffusion.losses.ddpm import get_loss_function
 from tpu_diffusion.models.unet import create_model
-from tpu_diffusion.parallel.mesh import make_mesh, shard_batch
+from tpu_diffusion.parallel.mesh import make_mesh
 from tpu_diffusion.sampling.ancestral import (make_conditional_sampler,
                                               make_prior_sampler)
 from tpu_diffusion.train.actions import PeriodicCallback

@@ -12,8 +12,6 @@ reconstruction-guidance sampler differentiates through.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import struct

@@ -21,7 +21,6 @@ training also avoids the T x T HBM round trip.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

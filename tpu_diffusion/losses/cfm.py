@@ -26,7 +26,6 @@ leaves the chip.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Tuple
 
 import jax

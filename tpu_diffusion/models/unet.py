@@ -16,7 +16,6 @@ TPU-native design decisions (not a port):
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional, Sequence, Tuple
 
 import jax

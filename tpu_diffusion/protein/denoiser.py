@@ -11,7 +11,7 @@ mean-centered per graph -> equivariant eps_hat.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -132,3 +132,27 @@ class GVPDenoiser(nn.Module):
         # mean-center per graph -> stays in the COM-free subspace (:376-378)
         eps = (eps - masked_mean(eps, mask, axis=-2)) * mask[..., None]
         return eps
+
+
+class MLPDenoiser(nn.Module):
+    """Toy per-node MLP denoiser (reference src/models/denoiser.py:21-62):
+    positions + time -> eps, mean-centered. Not equivariant — the sanity
+    baseline the GVP model is compared against."""
+
+    hidden: int = 128
+    depth: int = 3
+
+    @nn.compact
+    def __call__(self, batch: ProteinBatch, t: Array, *,
+                 train: bool = False) -> Array:
+        del train
+        b, n, _ = batch.pos.shape
+        h = jnp.concatenate(
+            [batch.pos,
+             sinusoidal_encoding(batch.node_order, 8, n or 1),
+             jnp.broadcast_to(t[:, None, None], (b, n, 1))], axis=-1)
+        for _ in range(self.depth):
+            h = nn.relu(nn.Dense(self.hidden)(h))
+        eps = nn.Dense(3)(h) * batch.mask[..., None]
+        return (eps - masked_mean(eps, batch.mask, axis=-2)) \
+            * batch.mask[..., None]

@@ -18,7 +18,6 @@ from typing import Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from tpu_diffusion.protein.geometry import masked_mean
 from tpu_diffusion.protein.sde import HoogeboomGraphSDE, ProteinBatch
 
 Array = jax.Array

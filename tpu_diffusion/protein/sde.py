@@ -17,7 +17,6 @@ from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import struct
 
 from tpu_diffusion.protein.geometry import center, masked_mean

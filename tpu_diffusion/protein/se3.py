@@ -14,8 +14,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from tpu_diffusion.protein.so3 import (SO3Diffuser, matrix_to_rotvec,
-                                       rotvec_to_matrix)
+from tpu_diffusion.protein.so3 import SO3Diffuser, rotvec_to_matrix
 
 Array = jax.Array
 

@@ -16,7 +16,6 @@ d/d omega log f. Sampling/scoring are jittable table lookups.
 
 from __future__ import annotations
 
-from functools import cached_property
 from typing import Tuple
 
 import jax

@@ -12,7 +12,7 @@ Rebuilds `amortised diffusion/src/transforms/`:
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,7 @@ branch-free; the "no noise at i==0" rule is a `where` as well.
 
 from __future__ import annotations
 
-import math
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,8 +26,7 @@ import jax.numpy as jnp
 from tpu_diffusion.conditioning.guidance import (Amortized, Conditioning,
                                                  ReconstructionGuidance,
                                                  Replacement)
-from tpu_diffusion.conditioning.likelihoods import (HyperResolution,
-                                                    Likelihood, Painting)
+from tpu_diffusion.conditioning.likelihoods import Likelihood, Painting
 from tpu_diffusion.core.schedules import DDPM
 
 Array = jax.Array

@@ -19,7 +19,7 @@ jitted scan loops over the continuous VPSDE:
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

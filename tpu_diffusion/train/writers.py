@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import atexit
 import os
-from typing import Dict, List, Mapping, Optional
+from typing import Dict, List, Mapping
 
 import numpy as np
 
