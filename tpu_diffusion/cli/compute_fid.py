@@ -54,6 +54,10 @@ def main(argv=None):
     p.add_argument("--features", default="random_conv",
                    choices=["random_conv", "inception"])
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use_ema", default="true", choices=["true", "false"],
+                   help="sample with the EMA weights (reference protocol); "
+                        "'false' uses the live params (useful for short "
+                        "runs where the 0.9999 EMA has not converged)")
     p.add_argument("--data_root", default="data")
     args = p.parse_args(argv)
 
@@ -67,7 +71,7 @@ def main(argv=None):
     x0 = jnp.zeros((1, h, w, c))
     params0 = model.init(jax.random.PRNGKey(0), jnp.zeros((1,)), x0)
     assets, step = mgr.load({"params": params0, "ema": params0, "step": 0})
-    params = assets["ema"]  # FID uses the EMA weights (compute_fid.py:54-64)
+    params = assets["ema" if args.use_ema == "true" else "params"]
     print(f"[compute_fid] restored step {step} from {ckpt_dir}")
 
     def velocity(t, x):

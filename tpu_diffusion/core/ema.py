@@ -32,14 +32,23 @@ class EMAState:
 
 
 def ema_update(state: EMAState, new_params: PyTree, decay: float,
-               update_every: int = 1, update_after: int = 0) -> EMAState:
+               update_every: int = 1, update_after: int = 0,
+               warmup: bool = False) -> EMAState:
     """ema <- decay * ema + (1 - decay) * params, gated on the step counter.
 
     `update_every`/`update_after` mirror `ema_pytorch.EMA(beta, update_every)`
     used at experiments/main.py:132; with the defaults this is the plain lerp
     of cifar10/utils_cifar.py:47-53.
+
+    `warmup=True` ramps the effective decay as min(decay, (1+n)/(10+n))
+    so short runs track the live params instead of the init (at the
+    reference's 400k-step budget the ramp is long saturated and the two
+    are identical).
     """
     count = state.count + 1
+    if warmup:
+        n = count.astype(jnp.float32)
+        decay = jnp.minimum(decay, (1.0 + n) / (10.0 + n))
     do_update = jnp.logical_and(count > update_after,
                                 (count % update_every) == 0)
     # Before warm-up completes, copy params through (ema_pytorch semantics).

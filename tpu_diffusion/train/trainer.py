@@ -75,7 +75,8 @@ def make_optimizer(lr: float | optax.Schedule, warmup: int = 0,
 
 def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
                     ema_decay: float = 0.9999, ema_update_every: int = 1,
-                    ema_update_after: int = 0) -> Callable:
+                    ema_update_after: int = 0,
+                    ema_warmup: bool = True) -> Callable:
     """Build the pure train step; jit it (with shardings) at the call site."""
 
     def train_step(state: TrainState, batch: PyTree):
@@ -85,7 +86,8 @@ def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
         params = optax.apply_updates(state.params, updates)
         ema = ema_update(state.ema, params, ema_decay,
                          update_every=ema_update_every,
-                         update_after=ema_update_after)
+                         update_after=ema_update_after,
+                         warmup=ema_warmup)
         gnorm = optax.global_norm(grads)
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state, ema=ema, rng=rng)
