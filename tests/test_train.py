@@ -173,3 +173,26 @@ def test_cli_main_tiny_end_to_end(tmp_path):
         results = json.load(f)
     assert np.isfinite(results["mse_mean"])
     assert os.path.exists(os.path.join(workdir, "metrics.csv"))
+
+
+def test_cli_main_fid_flag(tmp_path):
+    """testing.fid=True adds a finite fid to results.json."""
+    from tpu_diffusion.cli import main as cli_main
+    workdir = str(tmp_path / "exp_fid")
+    os.makedirs(workdir)
+    cli_main.main([
+        "--config", "mnist,inpainting,amortized",
+        "--mode", "all", "--workdir", workdir,
+        "--override", "training.num_steps=2",
+        "--override", "training.batch_size=8",
+        "--override", "diffusion.num_steps=50",
+        "--override", "testing.num_test=8",
+        "--override", "testing.batch_size=8",
+        "--override", "testing.fid=true",
+        "--override", "network.num_channels=8",
+        "--override", "network.attention_resolutions=",
+        "--override", "network.dtype=float32",
+    ])
+    with open(os.path.join(workdir, "results.json")) as f:
+        results = json.load(f)
+    assert np.isfinite(results["fid"])

@@ -158,6 +158,27 @@ def run_eval(config, parts, params, logdir: str, writer=None,
     results = {k: float(np.mean([s[k] for s in stats]))
                for k in (stats[0] if stats else {})}
     results["num_images"] = num_batches * bs
+    if config.testing.fid:
+        # optional FID with train-set reals (main.py:261-269; feature
+        # extractor per eval/fid.py comparability notes)
+        from tpu_diffusion.data.registry import epoch_batches
+        from tpu_diffusion.eval.fid import FID, make_feature_fn
+        fid = FID(make_feature_fn("random_conv",
+                                  image_size=dsc.image_size,
+                                  channels=dsc.num_channels))
+        train_set = get_dataset(dsc.name)(dsc.root, train=True)
+        for rb in epoch_batches(train_set, bs):
+            fid.update(jnp.asarray(rb), real=True)
+        key2 = jax.random.PRNGKey(config.testing.seed + 1)
+        for b in range(num_batches):
+            imgs = jnp.asarray(test.images[b * bs:(b + 1) * bs])
+            if len(imgs) < bs:
+                break
+            key2, kc, kx, ks = jax.random.split(key2, 4)
+            condition = lik.sample(kc, imgs)
+            xT = jax.random.normal(kx, imgs.shape)
+            fid.update(cond_sample(params, ks, xT, condition), real=False)
+        results["fid"] = fid.compute()
     with open(os.path.join(logdir, "results.json"), "w") as f:
         json.dump(results, f, indent=2)
     if writer is not None and len(samples):
