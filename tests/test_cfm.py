@@ -132,3 +132,50 @@ def test_get_matcher_factory():
         assert hasattr(m, "sample_location_and_conditional_flow")
     with pytest.raises(NotImplementedError):
         get_matcher("nope")
+
+
+def test_host_ot_pairs_matches_callback_permutation():
+    # Host-side pairing (the TPU exact-OT path) must apply the same exact-OT
+    # assignment as the in-jit pure_callback path.
+    from tpu_diffusion.losses.cfm import (exact_ot_permutation, host_ot_pairs,
+                                          numpy_ot_permutation)
+    rng = np.random.default_rng(0)
+    x1 = rng.standard_normal((16, 4, 4, 1)).astype(np.float32)
+
+    pairs = list(host_ot_pairs(iter([x1]), seed=7))
+    assert len(pairs) == 1
+    x0, x1p = pairs[0]
+    assert x0.shape == x1.shape
+    # x1p is x1 reordered by the exact plan against that x0
+    perm = numpy_ot_permutation(x0, x1)
+    np.testing.assert_array_equal(x1p, x1[perm])
+    # and numpy_ot_permutation == the jax-callback solver
+    perm_jax = np.asarray(exact_ot_permutation(jnp.asarray(x0),
+                                               jnp.asarray(x1)))
+    np.testing.assert_array_equal(perm, perm_jax)
+    # pairing reduces transport cost vs identity coupling
+    cost_paired = float(((x0 - x1p) ** 2).sum())
+    cost_id = float(((x0 - x1) ** 2).sum())
+    assert cost_paired <= cost_id + 1e-5
+
+
+def test_paired_cfm_loss_trains_one_step():
+    # The otcfm --ot_method exact recipe: host pairs feed a jitted step
+    # that contains no callbacks (runs on any backend).
+    from tpu_diffusion.cli.train_cifar10 import make_cfm_loss_fn
+    from tpu_diffusion.models.unet import UNetModelWrapper
+
+    model = UNetModelWrapper(dim=(8, 8, 1), num_channels=8,
+                             num_res_blocks=1, channel_mult=(1, 2),
+                             num_heads=2, attention_resolutions="4")
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1,)),
+                        jnp.zeros((1, 8, 8, 1)))
+    matcher = get_matcher("icfm", sigma=0.0)
+    loss_fn = jax.jit(make_cfm_loss_fn(model, matcher, paired=True))
+    rng = np.random.default_rng(1)
+    x1 = rng.standard_normal((8, 8, 8, 1)).astype(np.float32)
+    from tpu_diffusion.losses.cfm import host_ot_pairs
+    (x0, x1p), = list(host_ot_pairs(iter([x1]), seed=3))
+    val = loss_fn(params, jax.random.PRNGKey(2),
+                  (jnp.asarray(x0), jnp.asarray(x1p)))
+    assert np.isfinite(float(val))

@@ -43,3 +43,77 @@ def test_protein_pipeline_end_to_end(tmp_path):
     assert stats["finite_mean"] == 1.0
     assert "novelty_rmsd_mean" in stats
     assert np.isfinite(stats["radius_of_gyration_mean"])
+
+
+def _ideal_helix(n=30):
+    # alpha-helix CA trace: radius 2.3 A, rise 1.5 A, 100 deg/residue
+    i = np.arange(n)
+    a = np.radians(100.0 * i)
+    return np.stack([2.3 * np.cos(a), 2.3 * np.sin(a), 1.5 * i], -1)
+
+
+def _ideal_strand(n=20):
+    # beta-strand CA trace: 3.3 A rise with alternating 1.0 A pleat
+    i = np.arange(n)
+    return np.stack([3.3 * i, ((-1.0) ** i), np.zeros(n)], -1)
+
+
+def test_sse_classifier_helix_and_strand():
+    from tpu_diffusion.protein.evaluate import (secondary_structure,
+                                                sse_proportions)
+    helix = secondary_structure(_ideal_helix())
+    assert np.mean(helix == "a") > 0.7, helix
+    strand = secondary_structure(_ideal_strand())
+    assert np.mean(strand == "b") > 0.6, strand
+    assert np.sum(strand == "a") == 0
+    # random-walk coil: no dominant structure class
+    rng = np.random.default_rng(0)
+    coil = np.cumsum(rng.normal(0, 2.5, (40, 3)), axis=0)
+    props = sse_proportions(coil)
+    assert abs(props["helix_proportion"] + props["sheet_proportion"]
+               + props["coil_proportion"] - 1.0) < 1e-9
+    # proportions keys match the reference's BackboneCASSEEvaluator output
+    assert set(props) == {"helix_proportion", "sheet_proportion",
+                          "coil_proportion"}
+
+
+def test_eval_many_parallel_matches_serial():
+    from tpu_diffusion.protein.evaluate import EvaluationPipeline
+    rng = np.random.default_rng(1)
+    structures = {f"s{i}": np.cumsum(rng.normal(0, 2.0, (25, 3)), axis=0)
+                  for i in range(6)}
+    pipe = EvaluationPipeline()
+    serial = pipe.eval_many(structures)
+    parallel = pipe.eval_many(structures, n_jobs=3)
+    assert [r["id"] for r in serial] == [r["id"] for r in parallel]
+    for a, b in zip(serial, parallel):
+        for k in a:
+            if isinstance(a[k], float) and np.isfinite(a[k]):
+                assert abs(a[k] - b[k]) < 1e-12, k
+
+
+def test_training_stats_cache_and_comparison(tmp_path):
+    from tpu_diffusion.protein.evaluate import (EvaluationPipeline,
+                                                compare_to_training,
+                                                summarize)
+    rng = np.random.default_rng(2)
+    train = {f"t{i}": np.cumsum(rng.normal(0, 2.0, (20, 3)), axis=0)
+             for i in range(4)}
+    cache = str(tmp_path / "train_stats.csv")
+    pipe = EvaluationPipeline()
+    rows1 = pipe.eval_training_set(train, cache)
+    assert os.path.exists(cache)
+    rows2 = pipe.eval_training_set(train, cache)  # loaded from cache
+    assert [r["id"] for r in rows1] == [r["id"] for r in rows2]
+    np.testing.assert_allclose(
+        [r["radius_of_gyration"] for r in rows1],
+        [r["radius_of_gyration"] for r in rows2], rtol=1e-6)
+
+    samples = {f"s{i}": np.cumsum(rng.normal(0, 2.0, (20, 3)), axis=0)
+               for i in range(4)}
+    sample_rows = pipe.eval_many(samples)
+    comp = compare_to_training(sample_rows, rows1)
+    assert "radius_of_gyration_w1_vs_train" in comp
+    assert np.isfinite(comp["radius_of_gyration_w1_vs_train"])
+    summ = summarize(sample_rows)
+    assert "sheet_proportion_mean" in summ and "ca_dist_mean_std" in summ

@@ -196,3 +196,52 @@ def test_cli_main_fid_flag(tmp_path):
     with open(os.path.join(workdir, "results.json")) as f:
         results = json.load(f)
     assert np.isfinite(results["fid"])
+
+
+def test_real_format_loader_goldens():
+    """Committed raw-format fixtures (IDX + CIFAR-bin) pin the real-data
+    parsing path byte-exactly (allow_synthetic=False; ref mnist/data.py:36-97
+    and cifar10/train_cifar10.py:69-87 formats)."""
+    from tpu_diffusion.data.registry import get_dataset
+    fx = os.path.join(os.path.dirname(__file__), "fixtures")
+
+    ds = get_dataset("mnist")(os.path.join(fx, "mnist"), train=True,
+                              allow_synthetic=False)
+    assert ds.images.shape == (4, 28, 28, 1)
+    assert ds.images.dtype == np.float32
+    assert ds.labels.tolist() == [3, 1, 4, 1]
+    # diagonal-stripe pixels: uint8 255 / 175 -> [-1,1] goldens
+    np.testing.assert_allclose(ds.images[0, 0, 0, 0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(ds.images[0, 5, 5, 0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(ds.images[2, 3, 5, 0], 0.37254906, atol=1e-6)
+    assert float(ds.images.min()) == -1.0
+
+    # .gz IDX path (test split is gzipped in the fixtures)
+    dst = get_dataset("mnist")(os.path.join(fx, "mnist"), train=False,
+                               allow_synthetic=False)
+    assert dst.images.shape == (2, 28, 28, 1)
+    assert dst.labels.tolist() == [7, 2]
+    np.testing.assert_allclose(float(dst.images.mean()), -6.0007282e-05,
+                               rtol=1e-4)
+
+    c = get_dataset("cifar10")(os.path.join(fx, "cifar"), train=True,
+                               allow_synthetic=False)
+    assert c.images.shape == (20, 32, 32, 3)
+    assert c.labels.tolist() == [0, 1, 2, 3] * 5
+    np.testing.assert_allclose(
+        c.images[0, 0, 0], [-0.38823527, 0.25490201, 0.31764710], atol=1e-6)
+    np.testing.assert_allclose(float(c.images.mean()), 0.0018379950,
+                               rtol=1e-4)
+    ct = get_dataset("cifar10")(os.path.join(fx, "cifar"), train=False,
+                                allow_synthetic=False)
+    assert ct.images.shape == (2, 32, 32, 3)
+    assert ct.labels.tolist() == [0, 1]
+
+    # missing-root behavior: allow_synthetic=False must raise, not fall back
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        get_dataset("mnist")(os.path.join(fx, "nope"), train=True,
+                             allow_synthetic=False)
+    with pytest.raises(FileNotFoundError):
+        get_dataset("cifar10")(os.path.join(fx, "nope"), train=True,
+                               allow_synthetic=False)

@@ -1,21 +1,28 @@
-"""Pallas fused attention kernel for the UNet's spatial self-attention.
+"""Pallas fused attention kernels for the UNet's spatial self-attention.
 
 The reference materializes the full [B*H, T, T] attention matrix in HBM via
 einsum (image_diffusion/unet.py:443-448, 471-483). For the 64x64 and 256x256
 SR configs (T up to 4096 at the first attention resolution) that matrix is
-the HBM-bandwidth hot spot. This kernel keeps K/V and one query block
-resident in VMEM and never writes the T x T logits to HBM:
+the HBM-bandwidth hot spot. These kernels keep K/V and one query (or key)
+block resident in VMEM and never write the T x T logits to HBM.
 
-  grid = (batch*heads, T // BLOCK_Q); each program computes
-  softmax(q_blk K^T / sqrt(d)) V with fp32 logits entirely on-chip.
+Forward: grid = (batch*heads, T // BLOCK_Q); each program computes
+softmax(q_blk K^T / sqrt(d)) V with fp32 logits entirely on-chip, and also
+emits the per-row logsumexp (the flash-attention softmax statistic).
 
-VMEM budget per program ~ BLOCK_Q*T*4 bytes of logits + 2*T*d*2 bytes of
-K/V; with BLOCK_Q=256, T<=4096, d<=128 this stays under ~6 MB (16 MB VMEM).
-For longer sequences switch to the two-pass running-softmax variant (not
-needed at this framework's resolutions — SURVEY.md §5.7).
+Backward: a custom VJP with two Pallas kernels that recompute P from the
+saved logsumexp instead of storing it —
 
-A custom VJP reuses the same kernel for the backward contractions, so
-training also avoids the T x T HBM round trip.
+  * dq kernel, grid over q blocks:  ds = P*(dP - delta);  dq = ds K
+  * dk/dv kernel, grid over k blocks: dv = P^T g;  dk = ds^T Q
+
+where delta_i = sum_d g_id o_id (computed once in XLA, O(T d)). The T x T
+products again live only in VMEM.
+
+VMEM budget per program ~ BLOCK*T*4 bytes of logits + 2*T*d bytes of K/V
+(or Q/G); with BLOCK=256, T<=4096, d<=128 this stays under ~6 MB (16 MB
+VMEM). For longer sequences switch to a two-pass running-softmax variant
+(not needed at this framework's resolutions — SURVEY.md §5.7).
 """
 
 from __future__ import annotations
@@ -30,7 +37,19 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _pick_block(t: int, block: int) -> int:
+    block = min(block, t)
+    while t % block:
+        block //= 2
+    return block
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float):
     q = q_ref[0].astype(jnp.float32)           # [bq, d]
     k = k_ref[0].astype(jnp.float32)           # [T, d]
     v = v_ref[0]                                # [T, d]
@@ -44,19 +63,19 @@ def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
         (p / denom).astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     o_ref[0] = o.astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(denom))[:, 0]
 
 
-def _flash_attention_3d(q: Array, k: Array, v: Array, block_q: int) -> Array:
-    """q,k,v: [BH, T, d] -> [BH, T, d]."""
+def _flash_attention_3d(q: Array, k: Array, v: Array, block_q: int):
+    """q,k,v: [BH, T, d] -> (o [BH, T, d], lse [BH, T] fp32)."""
     bh, t, d = q.shape
     scale = d ** -0.5
-    block_q = min(block_q, t)
-    while t % block_q:
-        block_q //= 2
+    block_q = _pick_block(t, block_q)
     grid = (bh, t // block_q)
     return pl.pallas_call(
         functools.partial(_attn_fwd_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+        out_shape=(jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+                   jax.ShapeDtypeStruct((bh, t), jnp.float32)),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
@@ -67,8 +86,12 @@ def _flash_attention_3d(q: Array, k: Array, v: Array, block_q: int) -> Array:
                 pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=(
+                pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+                             memory_space=pltpu.VMEM),
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * t * t * d,
@@ -76,6 +99,123 @@ def _flash_attention_3d(q: Array, k: Array, v: Array, block_q: int) -> Array:
             transcendentals=bh * t * t,
         ),
     )(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Backward (flash: recompute P from the saved logsumexp, never HBM T x T)
+# ---------------------------------------------------------------------------
+
+
+def _attn_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                        dq_ref, *, scale: float):
+    q = q_ref[0].astype(jnp.float32)            # [bq, d]
+    k = k_ref[0].astype(jnp.float32)            # [T, d]
+    v = v_ref[0].astype(jnp.float32)            # [T, d]
+    g = g_ref[0].astype(jnp.float32)            # [bq, d]
+    lse = lse_ref[0]                            # [bq]
+    delta = delta_ref[0]                        # [bq]
+    logits = jax.lax.dot_general(
+        q * scale, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)     # [bq, T]
+    p = jnp.exp(logits - lse[:, None])
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)     # [bq, T]
+    ds = p * (dp - delta[:, None])
+    dq = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _attn_bwd_dkdv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, *, scale: float):
+    q = q_ref[0].astype(jnp.float32)            # [T, d]
+    k = k_ref[0].astype(jnp.float32)            # [bk, d]
+    v = v_ref[0].astype(jnp.float32)            # [bk, d]
+    g = g_ref[0].astype(jnp.float32)            # [T, d]
+    lse = lse_ref[0]                            # [T]
+    delta = delta_ref[0]                        # [T]
+    logits = jax.lax.dot_general(
+        q * scale, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)     # [T, bk]
+    p = jnp.exp(logits - lse[:, None])
+    dv = jax.lax.dot_general(
+        p, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)     # [bk, d]
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)     # [T, bk]
+    ds = p * (dp - delta[:, None])
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # [bk, d]
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_attention_bwd_3d(q, k, v, g, lse, delta, block: int):
+    bh, t, d = q.shape
+    scale = d ** -0.5
+    blk = _pick_block(t, block)
+    grid = (bh, t // blk)
+    full = lambda b, i: (b, 0, 0)
+    full2 = lambda b, i: (b, 0)
+    blocked = lambda b, i: (b, i, 0)
+    blocked2 = lambda b, i: (b, i)
+    dq = pl.pallas_call(
+        functools.partial(_attn_bwd_dq_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, blk, d), blocked, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, t, d), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, t, d), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk, d), blocked, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk), blocked2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk), blocked2, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, blk, d), blocked,
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * t * t * d,
+            bytes_accessed=bh * t * d * 4 * 4,
+            transcendentals=bh * t * t,
+        ),
+    )(q, k, v, g, lse, delta)
+    dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_dkdv_kernel, scale=scale),
+        out_shape=(jax.ShapeDtypeStruct((bh, t, d), k.dtype),
+                   jax.ShapeDtypeStruct((bh, t, d), v.dtype)),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, t, d), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk, d), blocked, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk, d), blocked, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, t, d), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, t), full2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, t), full2, memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, blk, d), blocked, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk, d), blocked, memory_space=pltpu.VMEM),
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * t * t * d,
+            bytes_accessed=bh * t * d * 4 * 4,
+            transcendentals=bh * t * t,
+        ),
+    )(q, k, v, g, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# Public API with custom VJP
+# ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -96,30 +236,28 @@ def _fa_fwd(q, k, v, block_q):
     q3, shape = _merge(q)
     k3, _ = _merge(k)
     v3, _ = _merge(v)
-    o3 = _flash_attention_3d(q3, k3, v3, block_q)
+    o3, lse = _flash_attention_3d(q3, k3, v3, block_q)
     o = o3 if shape is None else o3.reshape(*shape, *o3.shape[1:])
-    return o, (q, k, v)
+    return o, (q, k, v, o3, lse)
 
 
 def _fa_bwd(block_q, res, g):
-    """Backward via recomputation with plain XLA contractions (the T x T
-    products live only inside this fused backward jit scope; XLA fuses the
-    softmax recompute with the contractions)."""
-    q, k, v = res
-    scale = q.shape[-1] ** -0.5
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    gf = g.astype(jnp.float32)
-    logits = jnp.einsum("...td,...sd->...ts", qf * scale, kf)
-    p = jax.nn.softmax(logits, axis=-1)
-    dv = jnp.einsum("...ts,...td->...sd", p, gf)
-    dp = jnp.einsum("...td,...sd->...ts", gf, vf)
-    tmp = dp - jnp.sum(p * dp, axis=-1, keepdims=True)
-    ds = p * tmp
-    dq = jnp.einsum("...ts,...sd->...td", ds, kf) * scale
-    dk = jnp.einsum("...ts,...td->...sd", ds, qf) * scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    q, k, v, o3, lse = res
+    q3, shape = _merge(q)
+    k3, _ = _merge(k)
+    v3, _ = _merge(v)
+    g3, _ = _merge(g)
+    # delta_i = sum_d g o (the only O(T d) reduction; stays in XLA)
+    delta = jnp.sum(g3.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1)
+    dq3, dk3, dv3 = _flash_attention_bwd_3d(q3, k3, v3, g3, lse, delta,
+                                            block_q)
+    if shape is not None:
+        b, h = shape
+        t, d = q3.shape[1:]
+        dq3 = dq3.reshape(b, h, t, d)
+        dk3 = dk3.reshape(b, h, t, d)
+        dv3 = dv3.reshape(b, h, t, d)
+    return dq3.astype(q.dtype), dk3.astype(k.dtype), dv3.astype(v.dtype)
 
 
 flash_attention.defvjp(_fa_fwd, _fa_bwd)

@@ -57,31 +57,37 @@ def shard_params(mesh: Mesh, params: PyTree,
                         params_shardings(mesh, params, min_shard_elems))
 
 
+def tree_shardings(mesh: Mesh, tree: PyTree,
+                   min_shard_elems: int = 1024) -> PyTree:
+    """Apply the `leaf_spec` layout rule to every leaf of any pytree."""
+    model_size = mesh.shape[MODEL_AXIS]
+    rep = NamedSharding(mesh, P())
+    if model_size == 1:
+        return jax.tree.map(lambda _: rep, tree)
+
+    def one(x):
+        if hasattr(x, "shape"):
+            return NamedSharding(mesh, leaf_spec(x.shape, model_size,
+                                                 min_shard_elems))
+        return rep
+
+    return jax.tree.map(one, tree)
+
+
 def state_shardings(mesh: Mesh, state, min_shard_elems: int = 1024):
     """Shardings for a TrainState: params / ema / adam moments follow the
-    same layout; scalars replicate."""
-    p_sh = params_shardings(mesh, state.params, min_shard_elems)
+    same layout; scalars replicate.
+
+    The layout is a pure function of leaf shape (`leaf_spec`), so applying
+    it leaf-wise to opt_state/ema reproduces the parameter layout on the
+    adam moments exactly — one rule everywhere, no shape-matching table
+    that could silently mis-shard under future per-param overrides.
+    """
     rep = NamedSharding(mesh, P())
-
-    def map_like(tree):
-        flat_p, treedef_p = jax.tree.flatten(state.params)
-        flat_sh = jax.tree.leaves(p_sh)
-        by_shape = {}
-        for x, sh in zip(flat_p, flat_sh):
-            by_shape.setdefault(x.shape, sh)
-
-        def one(x):
-            if hasattr(x, "shape") and x.shape in by_shape \
-                    and len(x.shape) >= 2:
-                return by_shape[x.shape]
-            return rep
-
-        return jax.tree.map(one, tree)
-
     return type(state)(
         step=rep,
-        params=p_sh,
-        opt_state=map_like(state.opt_state),
-        ema=map_like(state.ema),
+        params=tree_shardings(mesh, state.params, min_shard_elems),
+        opt_state=tree_shardings(mesh, state.opt_state, min_shard_elems),
+        ema=tree_shardings(mesh, state.ema, min_shard_elems),
         rng=rep,
     )
