@@ -57,6 +57,20 @@ def test_dopri5_adaptive_accuracy_and_nfe():
     assert 10 < int(nfe) < 2000
 
 
+def test_dopri5_fixed_trip_count_matches_while_loop():
+    """The masked-scan variant (required on the axon TPU backend, where
+    dynamic-trip-count while_loops hang — PERF.md) is numerically identical
+    to the while_loop path, including the reported NFE."""
+    v = lambda t, x: -2.0 * x * (1.0 + jnp.sin(5 * t))
+    x0 = jax.random.normal(jax.random.PRNGKey(10), (4, 8))
+    xw, nfew = odeint_dopri5(v, x0, rtol=1e-6, atol=1e-6)
+    xs, nfes = odeint_dopri5(v, x0, rtol=1e-6, atol=1e-6, max_steps=64,
+                             fixed_trip_count=True)
+    assert int(nfew) == int(nfes)
+    np.testing.assert_allclose(np.asarray(xw), np.asarray(xs),
+                               atol=1e-7, rtol=1e-7)
+
+
 def test_dopri5_time_dependent_matrix():
     def v(t, x):
         return -t * x

@@ -116,4 +116,4 @@ def test_training_stats_cache_and_comparison(tmp_path):
     assert "radius_of_gyration_w1_vs_train" in comp
     assert np.isfinite(comp["radius_of_gyration_w1_vs_train"])
     summ = summarize(sample_rows)
-    assert "sheet_proportion_mean" in summ and "ca_dist_mean_std" in summ
+    assert "sheet_proportion_mean" in summ and "ca_distance_mean_std" in summ

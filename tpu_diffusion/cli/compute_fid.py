@@ -81,8 +81,13 @@ def main(argv=None):
     def gen_batch(key):
         noise = jax.random.normal(key, (args.batch_size_fid, h, w, c))
         if args.integration_method == "dopri5":
+            # Fixed trip count on backends that cannot run dynamic
+            # while_loops (the axon tunnel — PERF.md); early exit elsewhere.
+            fixed = jax.devices()[0].platform == "tpu"
             x1, nfe = odeint(velocity, noise, method="dopri5",
-                             rtol=args.tol, atol=args.tol)
+                             rtol=args.tol, atol=args.tol,
+                             max_steps=128 if fixed else 1000,
+                             fixed_trip_count=fixed)
         else:
             x1, nfe = odeint(velocity, noise,
                              method=args.integration_method,

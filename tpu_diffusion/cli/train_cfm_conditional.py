@@ -49,7 +49,7 @@ _IMAGE_SIZES = {"mnist": 28, "flowers": 64, "celeba": 64,
                 "synthetic256": 256}
 
 
-def build(task: str, dataset: str, attention_impl: str = "xla",
+def build(task: str, dataset: str, attention_impl: str = "auto",
           num_channels: int = 0):
     image_size = _IMAGE_SIZES.get(dataset, 64)
     channels = 1 if dataset == "mnist" else 3
@@ -176,7 +176,7 @@ def main(argv=None):
     p.add_argument("--eval_batch_size", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data_root", default="data")
-    p.add_argument("--attention_impl", default="xla")
+    p.add_argument("--attention_impl", default="auto")
     p.add_argument("--num_channels", type=int, default=0,
                    help="0 -> dataset default (32 mnist / 128 else)")
     p.add_argument("--eval_ode_steps", type=int, default=100,

@@ -37,7 +37,7 @@ from tpu_diffusion.train.writers import LocalWriter
 
 
 def build_model(image_size: int = 32, num_channels: int = 128,
-                channels: int = 3, attention_impl: str = "xla"):
+                channels: int = 3, attention_impl: str = "auto"):
     """The reference CIFAR UNet config (train_cifar10.py:92-103)."""
     return UNetModelWrapper(
         dim=(image_size, image_size, channels), num_channels=num_channels,
@@ -104,7 +104,7 @@ def main(argv=None):
                    help="minibatch-OT solver for otcfm: exact pairs on the "
                         "host between steps (TPU-safe, reference protocol); "
                         "sinkhorn is entropic OT fully on-device")
-    p.add_argument("--attention_impl", default="xla",
+    p.add_argument("--attention_impl", default="auto",
                    choices=["xla", "pallas"])
     p.add_argument("--sample_grid", type=int, default=64,
                    help="images per periodic sample grid")

@@ -198,3 +198,282 @@ def run_plot_pipeline(sample_rows: List[Dict], out_dir: str,
         fig.savefig(p)
         paths[name] = p
     return paths
+
+
+# ---------------------------------------------------------------------------
+# Protein plot pipeline: the reference's named figure set over
+# sample_stats.csv rows (plot_pipeline.py:30-298). Each plot overlays up to
+# three populations — unconditional samples, conditional samples, and the
+# training set ("CATH" in the reference) — as density histograms.
+# ---------------------------------------------------------------------------
+
+_POP_COLORS = {"samples": "#1b9e77", "cond": "#d95f02", "train": "#7570b3"}
+
+
+def _col(rows: Optional[List[Dict]], key: str,
+         lo: float = -np.inf, hi: float = np.inf) -> np.ndarray:
+    if not rows:
+        return np.empty(0)
+    v = np.asarray([r[key] for r in rows
+                    if isinstance(r.get(key), (int, float))
+                    and np.isfinite(r[key])], float)
+    return v[(v >= lo) & (v <= hi)]
+
+
+def _overlay_hist(ax, sample_rows, train_rows, cond_rows, key,
+                  lo=-np.inf, hi=np.inf, binwidth=None, bins=50):
+    pops = (("samples", sample_rows), ("cond", cond_rows),
+            ("train", train_rows))
+    for label, rows in pops:
+        vals = _col(rows, key, lo, hi)
+        if not len(vals):
+            continue
+        if binwidth is not None and np.isfinite(lo) and np.isfinite(hi):
+            edges = np.arange(lo, hi + binwidth, binwidth)
+        else:
+            edges = bins
+        ax.hist(vals, bins=edges, density=True, alpha=0.65,
+                color=_POP_COLORS[label], label=label)
+    ax.legend(frameon=False)
+
+
+def plot_mean_chain_distances(sample_rows, train_rows=None, cond_rows=None,
+                              lo: float = 3.5, hi: float = 4.0):
+    """Density of per-structure mean C-alpha distance over the reference's
+    [3.5, 4.0] A window with 0.005 bins (plot_pipeline.py:30-49)."""
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots()
+    _overlay_hist(ax, sample_rows, train_rows, cond_rows,
+                  "ca_distance_mean", lo, hi, binwidth=0.005)
+    ax.set_xlabel(r"Backbone mean C$_\alpha$-distance [$\AA$]")
+    ax.set_xlim(lo, hi)
+    return fig
+
+
+def plot_mean_ca_angles(sample_rows, train_rows=None, cond_rows=None,
+                        lo: float = 50.0, hi: float = 100.0):
+    """Density of mean C-alpha angle over [50, 100] degrees, 2-degree bins
+    (plot_pipeline.py:51-69)."""
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots()
+    _overlay_hist(ax, sample_rows, train_rows, cond_rows, "ca_angle_mean",
+                  lo, hi, binwidth=2.0)
+    ax.set_xlabel(r"Backbone mean C$_\alpha$-angle [degrees]")
+    ax.set_xlim(lo, hi)
+    return fig
+
+
+def plot_secondary_structure_usage(sample_rows, train_rows=None,
+                                   cond_rows=None):
+    """Stacked helix/sheet/coil usage bars with percentage labels
+    (plot_pipeline.py:71-118)."""
+    import matplotlib.pyplot as plt
+    keys = ("helix_proportion", "sheet_proportion", "coil_proportion")
+    pops = [("samples", sample_rows)]
+    if cond_rows:
+        pops.append(("cond", cond_rows))
+    if train_rows:
+        pops.append(("train", train_rows))
+    usage = np.array([[float(np.mean(_col(rows, k))) if len(_col(rows, k))
+                       else 0.0 for k in keys] for _, rows in pops])
+    fig, ax = plt.subplots()
+    xs = np.arange(len(pops))
+    colors = [(1.0, 0.6, 0.6), (0.75, 0.75, 1.0), (0.8, 0.8, 0.8)]
+    bottom = np.zeros(len(pops))
+    for j, (label, color) in enumerate(zip(("Helix", "Sheet", "Coil"),
+                                           colors)):
+        ax.bar(xs, usage[:, j], bottom=bottom, label=label, color=color,
+               width=0.6)
+        for i in range(len(pops)):
+            if usage[i, j] > 0.02:
+                ax.text(xs[i], bottom[i] + usage[i, j] / 2,
+                        f"{usage[i, j] * 100:.1f}%", ha="center",
+                        va="center", fontsize=7)
+        bottom += usage[:, j]
+    ax.set_xticks(xs)
+    ax.set_xticklabels([p for p, _ in pops])
+    ax.set_ylim(0, 1.01)
+    ax.set_yticks([])
+    ax.legend(ncol=3, loc="lower left", bbox_to_anchor=(0.0, -0.3, 1.0, 0.1),
+              mode="expand", borderaxespad=0.0)
+    return fig
+
+
+def plot_radius_of_gyration(sample_rows, train_rows=None, cond_rows=None):
+    """Rg density histograms (plot_pipeline.py:120-134)."""
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots()
+    _overlay_hist(ax, sample_rows, train_rows, cond_rows,
+                  "radius_of_gyration", bins=50)
+    ax.set_xlabel(r"Radius of gyration $R_g$")
+    return fig
+
+
+def plot_sphericity(sample_rows, train_rows=None, cond_rows=None):
+    """Sphericity density histograms; the reference's misspelled
+    `shpericality` CSV column is the contract (plot_pipeline.py:136-150)."""
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots()
+    _overlay_hist(ax, sample_rows, train_rows, cond_rows, "shpericality",
+                  bins=50)
+    ax.set_xlabel("Sphericity (hull / sphere volume)")
+    return fig
+
+
+def plot_novelty(sample_rows, cond_rows=None,
+                 metric: str = "novelty_tm_score"):
+    """Novelty-metric histogram vs the closest training structure
+    (plot_pipeline.py:204-217)."""
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots()
+    _overlay_hist(ax, sample_rows, None, cond_rows, metric, bins=50)
+    ax.set_xlabel(f"{metric} vs closest training structure")
+    return fig
+
+
+def plot_conditional_loss_vs_step(cond_loss_dir: str,
+                                  scale: float = 15.0 ** 2):
+    """Mean ± spread of the motif guidance loss over sampling steps, from
+    the condloss_<i>.npy files `sample_protein` writes (the reference loads
+    the same layout at plot_pipeline.py:170-202; scale un-does the 1/15
+    coordinate scaling -> A^2). Returns (mse_fig, rmsd_fig)."""
+    import matplotlib.pyplot as plt
+    files = sorted(f for f in os.listdir(cond_loss_dir)
+                   if f.startswith("condloss_") and f.endswith(".npy"))
+    if not files:
+        raise FileNotFoundError(f"no condloss_*.npy in {cond_loss_dir}")
+    losses = [np.load(os.path.join(cond_loss_dir, f)) * scale
+              for f in files]
+    n = min(map(len, losses))
+    arr = np.stack([l[:n] for l in losses])  # [S, T]
+    steps = np.arange(1, n + 1)
+    figs = []
+    for name, data in (("Motif MSE [$\\AA^2$]", arr),
+                       ("Motif RMSD [$\\AA$]", np.sqrt(arr))):
+        fig, ax = plt.subplots()
+        mean = data.mean(0)
+        lo, hi = np.percentile(data, [25, 75], axis=0)
+        ax.plot(steps, mean, color=_POP_COLORS["cond"])
+        ax.fill_between(steps, lo, hi, alpha=0.25,
+                        color=_POP_COLORS["cond"])
+        ax.axhline(1.0, color="red", linestyle="--", linewidth=1)
+        ax.set_xlabel("Sampling step $t$")
+        ax.set_ylabel(name)
+        figs.append(fig)
+    return tuple(figs)
+
+
+def ks_similarity(sample_rows, train_rows, key: str) -> float:
+    """1 - two-sample Kolmogorov-Smirnov statistic (plot_pipeline.py:219-222),
+    computed from the empirical CDFs directly (no scipy needed)."""
+    a = np.sort(_col(sample_rows, key))
+    b = np.sort(_col(train_rows, key))
+    if not len(a) or not len(b):
+        return float("nan")
+    grid = np.concatenate([a, b])
+    cdf_a = np.searchsorted(a, grid, side="right") / len(a)
+    cdf_b = np.searchsorted(b, grid, side="right") / len(b)
+    return 1.0 - float(np.max(np.abs(cdf_a - cdf_b)))
+
+
+_RADAR_CATEGORIES = (
+    ("Angles", "ca_angle_mean"),
+    ("Distances", "ca_distance_mean"),
+    ("SS Ratio", "helix_proportion"),
+    ("Issues", "exceeds_canvas"),
+    ("Sphericity", "shpericality"),
+)
+
+
+def plot_protein_radar(sample_rows, train_rows):
+    """KS-similarity radar over the reference's five categories, SS Ratio
+    averaged over helix/sheet/coil (plot_pipeline.py:231-255)."""
+    import matplotlib.pyplot as plt
+    labels = [l for l, _ in _RADAR_CATEGORIES]
+    values = [ks_similarity(sample_rows, train_rows, k)
+              for _, k in _RADAR_CATEGORIES]
+    values[2] = float(np.nanmean(
+        [values[2]] + [ks_similarity(sample_rows, train_rows, k)
+                       for k in ("sheet_proportion", "coil_proportion")]))
+    values = [0.0 if not np.isfinite(v) else v for v in values]
+    angles = np.linspace(0, 2 * np.pi, len(labels), endpoint=False)
+    fig, ax = plt.subplots(subplot_kw={"projection": "polar"},
+                           figsize=(4.0, 4.0))
+    closed_a = np.append(angles, angles[0])
+    closed_v = values + values[:1]
+    ax.plot(closed_a, closed_v, linewidth=1)
+    ax.fill(closed_a, closed_v, alpha=0.1)
+    ax.set_xticks(angles)
+    ax.set_xticklabels(labels, fontsize=7, color="grey")
+    ax.set_rlabel_position(0)
+    ax.set_yticks([0.25, 0.5, 0.75])
+    ax.set_yticklabels(["1/4", "1/2", "3/4"], fontsize=6, color="grey")
+    ax.set_ylim(0, 1)
+    return fig
+
+
+def run_protein_plot_pipeline(sample_rows: List[Dict], plot_dir: str,
+                              train_rows: Optional[List[Dict]] = None,
+                              cond_rows: Optional[List[Dict]] = None,
+                              cond_loss_dir: Optional[str] = None) -> Dict:
+    """The reference's full named figure set (plot_pipeline.py:284-298):
+    chain distances, SSE usage, angles, Rg, sphericity, radar, novelty when
+    present, and conditional loss-vs-step when a data dir is given."""
+    os.makedirs(plot_dir, exist_ok=True)
+    set_plotstyle()
+    figs = {
+        "backbone_dist_mean": plot_mean_chain_distances(
+            sample_rows, train_rows, cond_rows),
+        "backbone_angle_mean": plot_mean_ca_angles(
+            sample_rows, train_rows, cond_rows),
+        "secondary_structure_usage": plot_secondary_structure_usage(
+            sample_rows, train_rows, cond_rows),
+        "radius_of_gyration": plot_radius_of_gyration(
+            sample_rows, train_rows, cond_rows),
+        "sphericity": plot_sphericity(sample_rows, train_rows, cond_rows),
+    }
+    if train_rows:
+        figs["radar"] = plot_protein_radar(sample_rows, train_rows)
+    if any(isinstance(r.get("novelty_tm_score"), (int, float))
+           for r in sample_rows):
+        figs["novelty_tm_score"] = plot_novelty(sample_rows, cond_rows)
+    if cond_loss_dir and os.path.isdir(cond_loss_dir):
+        try:
+            mse_fig, rmsd_fig = plot_conditional_loss_vs_step(cond_loss_dir)
+            figs["cond_loss_mse"] = mse_fig
+            figs["cond_loss_rmsd"] = rmsd_fig
+        except FileNotFoundError:
+            pass
+    paths = {}
+    for name, fig in figs.items():
+        p = os.path.join(plot_dir, f"{name}.png")
+        fig.savefig(p)
+        paths[name] = p
+    import matplotlib.pyplot as plt
+    plt.close("all")
+    return paths
+
+
+def _protein_plot_main(argv=None):
+    """CLI mirroring the reference's plot_pipeline entry (:300-316):
+    sample/ref/cond CSVs in, a directory of figures out."""
+    import argparse
+    from tpu_diffusion.protein.evaluate import _read_csv
+    p = argparse.ArgumentParser()
+    p.add_argument("--sample_csv", required=True)
+    p.add_argument("--ref_csv", default=None)
+    p.add_argument("--cond_csv", default=None)
+    p.add_argument("--plot_dir", required=True)
+    p.add_argument("--cond_loss_dir", default=None)
+    args = p.parse_args(argv)
+    paths = run_protein_plot_pipeline(
+        _read_csv(args.sample_csv), args.plot_dir,
+        train_rows=_read_csv(args.ref_csv) if args.ref_csv else None,
+        cond_rows=_read_csv(args.cond_csv) if args.cond_csv else None,
+        cond_loss_dir=args.cond_loss_dir)
+    for name, path in sorted(paths.items()):
+        print(f"{name}: {path}")
+
+
+if __name__ == "__main__":
+    _protein_plot_main()

@@ -63,11 +63,17 @@ def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float):
         (p / denom).astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     o_ref[0] = o.astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(denom))[:, 0]
+    lse_ref[0, 0] = (m + jnp.log(denom))[:, 0]
 
 
 def _flash_attention_3d(q: Array, k: Array, v: Array, block_q: int):
-    """q,k,v: [BH, T, d] -> (o [BH, T, d], lse [BH, T] fp32)."""
+    """q,k,v: [BH, T, d] -> (o [BH, T, d], lse [BH, 1, T] fp32).
+
+    lse rides in a [BH, 1, T] layout: Mosaic requires every block's last two
+    dims to be (8k, 128k) or the full array dims, which a [BH, T] row-block
+    (1, block_q) violates; the singleton axis makes the block (1, block_q)
+    legal as (1 == full, block_q % 128 == 0 or full).
+    """
     bh, t, d = q.shape
     scale = d ** -0.5
     block_q = _pick_block(t, block_q)
@@ -75,7 +81,7 @@ def _flash_attention_3d(q: Array, k: Array, v: Array, block_q: int):
     return pl.pallas_call(
         functools.partial(_attn_fwd_kernel, scale=scale),
         out_shape=(jax.ShapeDtypeStruct((bh, t, d), q.dtype),
-                   jax.ShapeDtypeStruct((bh, t), jnp.float32)),
+                   jax.ShapeDtypeStruct((bh, 1, t), jnp.float32)),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
@@ -89,7 +95,7 @@ def _flash_attention_3d(q: Array, k: Array, v: Array, block_q: int):
             out_specs=(
                 pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+                pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
                              memory_space=pltpu.VMEM),
             ),
         ),
@@ -112,8 +118,8 @@ def _attn_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     k = k_ref[0].astype(jnp.float32)            # [T, d]
     v = v_ref[0].astype(jnp.float32)            # [T, d]
     g = g_ref[0].astype(jnp.float32)            # [bq, d]
-    lse = lse_ref[0]                            # [bq]
-    delta = delta_ref[0]                        # [bq]
+    lse = lse_ref[0, 0]                         # [bq]
+    delta = delta_ref[0, 0]                     # [bq]
     logits = jax.lax.dot_general(
         q * scale, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)     # [bq, T]
@@ -134,8 +140,8 @@ def _attn_bwd_dkdv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     k = k_ref[0].astype(jnp.float32)            # [bk, d]
     v = v_ref[0].astype(jnp.float32)            # [bk, d]
     g = g_ref[0].astype(jnp.float32)            # [T, d]
-    lse = lse_ref[0]                            # [T]
-    delta = delta_ref[0]                        # [T]
+    lse = lse_ref[0, 0]                         # [T]
+    delta = delta_ref[0, 0]                     # [T]
     logits = jax.lax.dot_general(
         q * scale, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)     # [T, bk]
@@ -155,14 +161,14 @@ def _attn_bwd_dkdv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 
 
 def _flash_attention_bwd_3d(q, k, v, g, lse, delta, block: int):
+    """lse/delta ride as [BH, 1, T] (see _flash_attention_3d layout note)."""
     bh, t, d = q.shape
     scale = d ** -0.5
     blk = _pick_block(t, block)
     grid = (bh, t // blk)
     full = lambda b, i: (b, 0, 0)
-    full2 = lambda b, i: (b, 0)
     blocked = lambda b, i: (b, i, 0)
-    blocked2 = lambda b, i: (b, i)
+    rows_blocked = lambda b, i: (b, 0, i)
     dq = pl.pallas_call(
         functools.partial(_attn_bwd_dq_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
@@ -173,8 +179,10 @@ def _flash_attention_bwd_3d(q, k, v, g, lse, delta, block: int):
                 pl.BlockSpec((1, t, d), full, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, t, d), full, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, blk, d), blocked, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, blk), blocked2, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, blk), blocked2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, blk), rows_blocked,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, blk), rows_blocked,
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, blk, d), blocked,
                                    memory_space=pltpu.VMEM),
@@ -196,8 +204,8 @@ def _flash_attention_bwd_3d(q, k, v, g, lse, delta, block: int):
                 pl.BlockSpec((1, blk, d), blocked, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, blk, d), blocked, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, t, d), full, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t), full2, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t), full2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, t), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, t), full, memory_space=pltpu.VMEM),
             ],
             out_specs=(
                 pl.BlockSpec((1, blk, d), blocked, memory_space=pltpu.VMEM),
@@ -247,8 +255,10 @@ def _fa_bwd(block_q, res, g):
     k3, _ = _merge(k)
     v3, _ = _merge(v)
     g3, _ = _merge(g)
-    # delta_i = sum_d g o (the only O(T d) reduction; stays in XLA)
-    delta = jnp.sum(g3.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1)
+    # delta_i = sum_d g o (the only O(T d) reduction; stays in XLA).
+    # [BH, 1, T] layout to match the lse carried from the forward.
+    delta = jnp.sum(g3.astype(jnp.float32) * o3.astype(jnp.float32),
+                    axis=-1)[:, None, :]
     dq3, dk3, dv3 = _flash_attention_bwd_3d(q3, k3, v3, g3, lse, delta,
                                             block_q)
     if shape is not None:

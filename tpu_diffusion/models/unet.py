@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tpu_diffusion.models.nn import (GroupNorm32, avg_pool_2x,
+from tpu_diffusion.models.nn import (FusedNormAct, GroupNorm32, avg_pool_2x,
                                      nearest_upsample, timestep_embedding,
                                      zero_init_conv)
 
@@ -40,12 +40,16 @@ class ResBlock(nn.Module):
     down: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     norm_dtype: jnp.dtype | None = None  # None -> fp32 norm (reference)
+    norm_impl: str = "xla"  # "xla" | "fused" (Pallas GroupNorm+FiLM+SiLU)
 
     @nn.compact
     def __call__(self, x: Array, emb: Array, *, deterministic: bool = True
                  ) -> Array:
-        h = GroupNorm32(dtype=self.norm_dtype)(x)
-        h = nn.silu(h)
+        fused = self.norm_impl == "fused"
+        if fused:
+            h = FusedNormAct()(x)
+        else:
+            h = nn.silu(GroupNorm32(dtype=self.norm_dtype)(x))
         if self.up:
             h = nearest_upsample(h)
             x = nearest_upsample(x)
@@ -58,15 +62,22 @@ class ResBlock(nn.Module):
         emb_out = nn.Dense(
             2 * self.out_channels if self.use_scale_shift_norm
             else self.out_channels, dtype=self.dtype)(nn.silu(emb))
-        emb_out = emb_out[:, None, None, :]
 
         if self.use_scale_shift_norm:
-            scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNorm32(dtype=self.norm_dtype)(h) * (1 + scale) + shift
+            if fused:
+                h = FusedNormAct()(h, film=emb_out)
+            else:
+                scale, shift = jnp.split(emb_out[:, None, None, :], 2,
+                                         axis=-1)
+                h = GroupNorm32(dtype=self.norm_dtype)(h) * (1 + scale
+                                                             ) + shift
+                h = nn.silu(h)
         else:
-            h = h + emb_out
-            h = GroupNorm32(dtype=self.norm_dtype)(h)
-        h = nn.silu(h)
+            h = h + emb_out[:, None, None, :]
+            if fused:
+                h = FusedNormAct()(h)
+            else:
+                h = nn.silu(GroupNorm32(dtype=self.norm_dtype)(h))
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = zero_init_conv(self.out_channels, dtype=self.dtype)(h)
 
@@ -84,6 +95,8 @@ class AttentionBlock(nn.Module):
     impl: str = "xla"  # "xla" | "pallas"
     dtype: jnp.dtype = jnp.bfloat16
     norm_dtype: jnp.dtype | None = None
+    norm_impl: str = "xla"
+    sp_mesh: object = None  # Mesh -> token-axis-sharded ring attention
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -92,13 +105,30 @@ class AttentionBlock(nn.Module):
                  if self.num_head_channels > 0 else self.num_heads)
         head_dim = c // heads
 
-        y = GroupNorm32(dtype=self.norm_dtype)(x).reshape(b, h * w, c)
+        if self.norm_impl == "fused":
+            y = FusedNormAct(act="none")(x).reshape(b, h * w, c)
+        else:
+            y = GroupNorm32(dtype=self.norm_dtype)(x).reshape(b, h * w, c)
         qkv = nn.Conv(3 * c, (1,), dtype=self.dtype, name="qkv")(y)
         q, k, v = jnp.split(qkv.reshape(b, h * w, 3, heads, head_dim)
                             .transpose(2, 0, 3, 1, 4), 3, axis=0)
         q, k, v = q[0], k[0], v[0]  # [b, heads, T, d]
 
-        if self.impl == "pallas":
+        # "auto": XLA dense below 1024 tokens, Pallas flash at/above — the
+        # crossover measured on the v5e (PERF.md: XLA 8us vs Pallas 29us at
+        # T=256; Pallas 2.2x faster at T=1024, 3.1x at T=4096).
+        impl = self.impl
+        if impl == "auto":
+            on_tpu = jax.devices()[0].platform == "tpu"
+            impl = "pallas" if (on_tpu and h * w >= 1024) else "xla"
+
+        sp_out = None
+        if self.sp_mesh is not None:
+            from tpu_diffusion.parallel.sp import maybe_sequence_parallel
+            sp_out = maybe_sequence_parallel(q, k, v, self.sp_mesh)
+        if sp_out is not None:
+            out = sp_out
+        elif impl == "pallas":
             from tpu_diffusion.kernels.attention import flash_attention
             out = flash_attention(q, k, v)
         else:
@@ -160,6 +190,8 @@ class UNetModel(nn.Module):
     attention_impl: str = "xla"
     dtype: jnp.dtype = jnp.bfloat16
     norm_dtype: jnp.dtype | None = None  # None -> fp32 norms (reference)
+    norm_impl: str = "xla"  # "fused" = Pallas GroupNorm+FiLM+SiLU kernel
+    sp_mesh: object = None  # Mesh -> token-axis ring attention (SURVEY §5.7)
     time_scale: float = 1.0  # multiply t before embedding (CFM uses 1000.0)
 
     @nn.compact
@@ -183,13 +215,14 @@ class UNetModel(nn.Module):
 
         def res(h, out_ch, *, up=False, down=False):
             return block(out_ch, self.dropout, self.use_scale_shift_norm,
-                         up, down, self.dtype, self.norm_dtype)(
-                             h, emb, deterministic=not train)
+                         up, down, self.dtype, self.norm_dtype,
+                         self.norm_impl)(h, emb, deterministic=not train)
 
         def attn(h):
             return AttentionBlock(self.num_heads, self.num_head_channels,
                                   self.attention_impl, self.dtype,
-                                  self.norm_dtype)(h)
+                                  self.norm_dtype, self.norm_impl,
+                                  self.sp_mesh)(h)
 
         h = nn.Conv(ch0, (3, 3), padding="SAME", dtype=self.dtype)(
             x.astype(self.dtype))
@@ -231,8 +264,10 @@ class UNetModel(nn.Module):
                                      self.dtype)(h)
                     ds //= 2
         assert not hs
-        h = GroupNorm32(dtype=self.norm_dtype)(h)
-        h = nn.silu(h)
+        if self.norm_impl == "fused":
+            h = FusedNormAct()(h)
+        else:
+            h = nn.silu(GroupNorm32(dtype=self.norm_dtype)(h))
         h = zero_init_conv(self.out_channels, dtype=jnp.float32)(
             h.astype(jnp.float32))
         return h
@@ -284,6 +319,8 @@ def create_model(image_size: int,
                  attention_impl: str = "xla",
                  dtype=jnp.bfloat16,
                  norm_dtype=None,
+                 norm_impl: str = "xla",
+                 sp_mesh=None,
                  time_scale: float = 1.0) -> UNetModel:
     if not channel_mult:
         if image_size not in _DEFAULT_CHANNEL_MULT:
@@ -312,6 +349,8 @@ def create_model(image_size: int,
         attention_impl=attention_impl,
         dtype=dtype,
         norm_dtype=norm_dtype,
+        norm_impl=norm_impl,
+        sp_mesh=sp_mesh,
         time_scale=time_scale,
     )
 

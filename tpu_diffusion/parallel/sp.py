@@ -1,0 +1,108 @@
+"""Sequence parallelism: token-axis-sharded ring attention over a mesh axis.
+
+The reference's attention is a dense O(T^2) einsum on one device
+(image_diffusion/unet.py:443-448,471-483) — fine at T<=256 but the limiting
+factor for the 256x256 4x-SR stretch config (T=4096 at the first attention
+level). SURVEY.md §5.7 specifies the TPU-native treatment: shard the token
+axis of attention over a mesh axis and exchange K/V blocks over ICI.
+
+This module implements that as **ring attention**: each device holds a
+T/n-token slice of Q, K and V; per step it attends its Q slice against the
+resident K/V block with an online-softmax (flash) accumulator, then rotates
+the K/V block to the next device with `lax.ppermute`. After n steps every
+Q token has seen every K/V token. Communication is nearest-neighbour only
+(rides the ICI ring), compute/communication overlap is XLA's latency hiding
+on the permute, and no T^2 matrix ever materializes globally or locally
+(local score blocks are [T/n, T/n]).
+
+`ring_attention` is the collective kernel (use inside `shard_map`);
+`sequence_parallel_attention` wraps it for a `Mesh` + axis name from the
+outside. Both are exact — they match dense softmax attention to numerical
+precision, verified against `reference_attention` on an 8-device CPU mesh
+in tests/test_kernels.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_diffusion.parallel.mesh import MODEL_AXIS
+
+Array = jax.Array
+
+
+def ring_attention(q: Array, k: Array, v: Array, axis_name: str) -> Array:
+    """Exact self-attention with q/k/v sharded on the token (3rd-to-last)
+    axis over `axis_name`. Shapes per device: [..., T_local, d].
+
+    Must be called inside a `shard_map` (or `pmap`) that binds `axis_name`.
+    The online-softmax accumulator keeps running max / normalizer in fp32,
+    so the result matches dense attention regardless of block order.
+    """
+    n = jax.lax.psum(1, axis_name)
+    scale = q.shape[-1] ** -0.5
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    qf = q.astype(jnp.float32) * scale
+
+    def step(carry, _):
+        o, m, l, k_blk, v_blk = carry
+        s = jnp.einsum("...qd,...kd->...qk", qf,
+                       k_blk.astype(jnp.float32))
+        m_new = jnp.maximum(m, s.max(-1))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new[..., None])
+        l = l * alpha + p.sum(-1)
+        o = o * alpha[..., None] + jnp.einsum(
+            "...qk,...kd->...qd", p, v_blk.astype(jnp.float32))
+        # rotate the K/V block one hop around the ring (ICI neighbour)
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        return (o, m_new, l, k_blk, v_blk), None
+
+    o0 = jnp.zeros(q.shape, jnp.float32)
+    m0 = jnp.full(q.shape[:-1], -jnp.inf, jnp.float32)
+    l0 = jnp.zeros(q.shape[:-1], jnp.float32)
+    (o, _, l, _, _), _ = jax.lax.scan(step, (o0, m0, l0, k, v), None,
+                                      length=n)
+    return (o / l[..., None]).astype(q.dtype)
+
+
+def sequence_parallel_attention(q: Array, k: Array, v: Array, mesh: Mesh,
+                                axis: str = MODEL_AXIS) -> Array:
+    """Dense-equivalent attention with the token axis sharded over
+    `mesh[axis]`. Global shapes [..., T, d]; T must divide by the axis size.
+
+    The shard_map reshards inputs to token-sharded layout (an all-to-all
+    XLA inserts where needed), runs the ring, and hands the token-sharded
+    result back to the enclosing program's layout propagation.
+    """
+    size = mesh.shape[axis]
+    t = q.shape[-2]
+    if t % size:
+        raise ValueError(f"token count {t} not divisible by mesh axis "
+                         f"{axis}={size}")
+    ndim = q.ndim
+    spec = P(*([None] * (ndim - 2)), axis, None)
+
+    fn = jax.shard_map(
+        lambda a, b, c: ring_attention(a, b, c, axis),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False)
+    return fn(q, k, v)
+
+
+def maybe_sequence_parallel(q: Array, k: Array, v: Array,
+                            mesh: Optional[Mesh],
+                            axis: str = MODEL_AXIS):
+    """Route to ring attention when a mesh with a >1 `axis` is given and
+    the token count divides; return None otherwise (caller falls back to
+    its local attention implementation)."""
+    if mesh is None or axis not in mesh.shape or mesh.shape[axis] <= 1:
+        return None
+    if q.shape[-2] % mesh.shape[axis]:
+        return None
+    return sequence_parallel_attention(q, k, v, mesh, axis)

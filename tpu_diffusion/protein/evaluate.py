@@ -47,19 +47,31 @@ class EvaluationStage:
         return self.fn(coords)
 
 
-def sanity_check(coords: np.ndarray) -> Dict[str, float]:
+def sanity_check(coords: np.ndarray,
+                 canvas_size: float = 21.0) -> Dict[str, float]:
+    """NaN / canvas checks (reference :320-337: has_nan, exceeds_canvas
+    with |pos| > canvas_size=21), plus a degenerate-collapse flag."""
     finite = bool(np.isfinite(coords).all())
     spread = float(np.std(coords)) if finite else 0.0
+    exceeds = bool(finite and (np.abs(coords) > canvas_size).any())
     return {"finite": float(finite),
+            "has_nan": float(not finite),
+            "exceeds_canvas": float(exceeds),
             "degenerate": float(finite and spread < 1e-3)}
 
 
 def ca_distances(coords: np.ndarray) -> Dict[str, float]:
+    """Consecutive C-alpha distances; key names match the reference's
+    `ca_distance_<stat>` / `n_ca_atoms` CSV columns (:225-246)."""
     d = np.linalg.norm(np.diff(coords, axis=0), axis=-1)
-    return {"ca_dist_mean": float(d.mean()), "ca_dist_std": float(d.std()),
-            "ca_dist_min": float(d.min()), "ca_dist_max": float(d.max()),
+    return {"n_ca_atoms": float(len(coords)),
+            "ca_distance_mean": float(d.mean()),
+            "ca_distance_std": float(d.std()),
+            "ca_distance_median": float(np.median(d)),
+            "ca_distance_min": float(d.min()),
+            "ca_distance_max": float(d.max()),
             # fraction within 15% of the ideal 3.8 A pseudo-bond
-            "ca_dist_valid_frac": float(
+            "ca_distance_valid_frac": float(
                 np.mean(np.abs(d - 3.8) < 0.15 * 3.8))}
 
 
@@ -70,7 +82,8 @@ def ca_angles(coords: np.ndarray) -> Dict[str, float]:
                                  * np.linalg.norm(v2, axis=-1) + 1e-9)
     ang = np.degrees(np.arccos(np.clip(cos, -1, 1)))
     out = {"ca_angle_mean": float(ang.mean()),
-           "ca_angle_std": float(ang.std())}
+           "ca_angle_std": float(ang.std()),
+           "ca_angle_median": float(np.median(ang))}
     if len(coords) >= 4:
         b1, b2, b3 = (coords[1:-2] - coords[:-3], coords[2:-1]
                       - coords[1:-2], coords[3:] - coords[2:-1])
@@ -92,13 +105,29 @@ def radius_of_gyration(coords: np.ndarray) -> Dict[str, float]:
 
 
 def hull_volume(coords: np.ndarray) -> Dict[str, float]:
+    """Convex-hull volume + sphericity statistics (reference :368-407:
+    sphere_volume from the mean centroid distance, shpericality [sic] =
+    hull/sphere volume ratio, frac_of_bounding_sphere from the max
+    distance). The reference's misspelled key is kept for CSV parity."""
+    out = {"hull_volume": float("nan"), "hull_area": float("nan"),
+           "sphere_volume": float("nan"), "shpericality": float("nan"),
+           "frac_of_bounding_sphere": float("nan")}
     try:
         from scipy.spatial import ConvexHull
         hull = ConvexHull(coords)
-        return {"hull_volume": float(hull.volume),
-                "hull_area": float(hull.area)}
+        dist = np.linalg.norm(coords - coords.mean(0, keepdims=True),
+                              axis=-1)
+        sphere = (4.0 / 3.0) * np.pi * float(np.mean(dist)) ** 3
+        bounding = (4.0 / 3.0) * np.pi * float(np.max(dist)) ** 3
+        out.update(hull_volume=float(hull.volume),
+                   hull_area=float(hull.area),
+                   sphere_volume=sphere,
+                   shpericality=float(hull.volume) / max(sphere, 1e-12),
+                   frac_of_bounding_sphere=float(hull.volume)
+                   / max(bounding, 1e-12))
     except Exception:
-        return {"hull_volume": float("nan"), "hull_area": float("nan")}
+        pass
+    return out
 
 
 # P-SEA geometric windows (Labesse et al. 1997), the algorithm behind

@@ -239,37 +239,54 @@ def make_ddim_sampler(eps_fn: EpsFn, ddpm: DDPM, num_steps: int = 100,
 
     Not present in the reference; this is the fixed-NFE sampler the
     samples/sec/chip benchmark measures (BASELINE.md north star).
+
+    All per-step schedule scalars are precomputed at trace time and fed to
+    the `lax.scan` as stacked inputs, so the compiled body contains only the
+    UNet forward plus a handful of fused elementwise ops — no buffer gathers.
+    For eta=0 the noise term is dropped before tracing (no per-step RNG).
     """
+    import numpy as np
+
     stride = ddpm.num_steps // num_steps
-    steps = jnp.arange(num_steps) * stride  # ascending; scan descends
+    steps = np.arange(num_steps) * stride  # ascending; scan runs descending
+    abar_all = np.asarray(ddpm.alphas_cumprod, np.float64)
+    abar = abar_all[steps]
+    abar_prev = np.concatenate([[1.0], abar[:-1]])
+    sigma = eta * np.sqrt((1 - abar_prev) / (1 - abar)
+                          * (1 - abar / abar_prev))
+    # xi_next = c_x0 * x0 + c_dir * (xi - sqrt(abar) x0) + sigma * noise
+    c_x0 = np.sqrt(abar_prev)
+    c_dir = (np.sqrt(np.maximum(1 - abar_prev - sigma ** 2, 0.0))
+             / np.sqrt(1 - abar))
+    c_sqrt_abar = np.sqrt(abar)
+    # x0 = sr * xi - srm1 * eps (predict_start_from_noise, un-gathered)
+    sr = np.sqrt(1.0 / abar)
+    srm1 = np.sqrt(1.0 / abar - 1.0)
+    # descending step order, one stacked row per scan iteration
+    per_step = jnp.asarray(
+        np.stack([steps.astype(np.float64), c_x0, c_dir, c_sqrt_abar,
+                  sigma, sr, srm1], axis=-1)[::-1], jnp.float32)
 
     def sample(key: Array, xT: Array,
                condition: Optional[Array] = None) -> Array:
         fn = eps_fn if condition is None else amortized_eps_fn(eps_fn,
                                                                condition)
 
-        def body(carry, k):
+        def body(carry, row):
             xi, key = carry
-            i = steps[k]
-            i_prev = jnp.where(k > 0, steps[jnp.maximum(k - 1, 0)], -1)
-            ib = _batched(i, xi.shape[0])
+            i, cx0, cdir, sab, sig, sr, srm1 = (
+                row[0], row[1], row[2], row[3], row[4], row[5], row[6])
+            ib = jnp.full((xi.shape[0],), i.astype(jnp.int32))
             eps = fn(xi, ib)
-            x0 = process_x0(ddpm.predict_start_from_noise(xi, ib, eps))
-            abar_prev = jnp.where(i_prev >= 0,
-                                  ddpm.alphas_cumprod[jnp.maximum(i_prev, 0)],
-                                  1.0)
-            abar = ddpm.alphas_cumprod[i]
-            sigma = eta * jnp.sqrt((1 - abar_prev) / (1 - abar)
-                                   * (1 - abar / abar_prev))
-            dir_xt = jnp.sqrt(jnp.maximum(1 - abar_prev - sigma**2, 0.0)) * (
-                (xi - jnp.sqrt(abar) * x0) / jnp.sqrt(1 - abar))
-            key, nk = jax.random.split(key)
-            noise = jax.random.normal(nk, xi.shape, xi.dtype)
-            xi = jnp.sqrt(abar_prev) * x0 + dir_xt + sigma * noise
-            return (xi, key), None
+            x0 = process_x0(sr * xi - srm1 * eps)
+            xi_next = cx0 * x0 + cdir * (xi - sab * x0)
+            if eta != 0.0:
+                key, nk = jax.random.split(key)
+                xi_next = xi_next + sig * jax.random.normal(
+                    nk, xi.shape, xi.dtype)
+            return (xi_next, key), None
 
-        (x0, _), _ = jax.lax.scan(body, (xT, key),
-                                  jnp.arange(num_steps - 1, -1, -1))
+        (x0, _), _ = jax.lax.scan(body, (xT, key), per_step)
         return process_x0(x0)
 
     return sample

@@ -109,12 +109,23 @@ _DP_B4 = np.array([5179 / 57600, 0, 7571 / 16695, 393 / 640,
 
 def odeint_dopri5(v: VField, x0: Array, t0: float = 0.0, t1: float = 1.0,
                   rtol: float = 1e-5, atol: float = 1e-5,
-                  max_steps: int = 1000) -> Tuple[Array, Array]:
+                  max_steps: int = 1000,
+                  fixed_trip_count: bool = False) -> Tuple[Array, Array]:
     """Adaptive RK45 with FSAL and a standard 0.9-safety step controller.
 
-    Runs fully on device (`lax.while_loop`); `max_steps` bounds compilation.
-    Matches the torchdiffeq dopri5 protocol used by the reference's FID
-    scripts (cifar10/compute_fid.py:79-87).
+    Runs fully on device; `max_steps` bounds compilation. Matches the
+    torchdiffeq dopri5 protocol used by the reference's FID scripts
+    (cifar10/compute_fid.py:79-87).
+
+    `fixed_trip_count=False` (default) uses `lax.while_loop` with early
+    exit — the right choice on CPU and directly-attached TPUs. The axon
+    tunnel backend cannot execute dynamic-trip-count loops (a 10-iteration
+    `while_loop` hangs; measured, see PERF.md), so on that backend pass
+    `fixed_trip_count=True`: the same controller runs as a `lax.scan` over
+    exactly `max_steps` iterations with accepted/rejected/finished steps
+    masked — identical numerics, static shape, ~`6*max_steps` NFE of
+    wall-clock work regardless of early convergence (size `max_steps`
+    to the expected step budget, e.g. 64 for the FID protocol's fields).
     """
     dtype = x0.dtype
 
@@ -156,6 +167,18 @@ def odeint_dopri5(v: VField, x0: Array, t0: float = 0.0, t1: float = 1.0,
     init = (jnp.asarray(t0, jnp.float32), x0,
             jnp.asarray((t1 - t0) / 100.0, jnp.float32), k1,
             jnp.asarray(1, jnp.int32), jnp.asarray(False))
+    if fixed_trip_count:
+        def scan_body(state, _):
+            t, x, dt, k1, nfe, done = state
+            new = body((t, x, dt, k1, nfe, done))
+            # finished trajectories stop updating (and stop counting NFE)
+            out = jax.tree.map(lambda a, b: jnp.where(done, a, b), state,
+                               new)
+            return out, None
+        (t, x1, _, _, nfe, _), _ = jax.lax.scan(init=init, xs=None,
+                                                f=scan_body,
+                                                length=max_steps)
+        return x1, nfe
     t, x1, _, _, nfe, _ = jax.lax.while_loop(cond, body, init)
     return x1, nfe
 

@@ -83,7 +83,9 @@ def _network_config(dataset: str) -> ml_collections.ConfigDict:
         c.attention_resolutions = "32,16,8"
         c.use_scale_shift_norm = True
     c.dropout = 0.0
-    c.attention_impl = "xla"
+    # "auto" picks XLA dense below 1024 tokens and the Pallas flash kernel
+    # at/above, per the measured v5e crossover (PERF.md)
+    c.attention_impl = "auto"
     c.dtype = "bfloat16"
     return c
 
