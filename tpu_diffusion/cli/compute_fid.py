@@ -69,7 +69,7 @@ def main(argv=None):
     ckpt_dir = os.path.join(args.input_dir, args.model, "ckpt")
     mgr = CheckpointManager(ckpt_dir)
     x0 = jnp.zeros((1, h, w, c))
-    params0 = model.init(jax.random.PRNGKey(0), jnp.zeros((1,)), x0)
+    params0 = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1,)), x0)
     assets, step = mgr.load({"params": params0, "ema": params0, "step": 0})
     params = assets["ema" if args.use_ema == "true" else "params"]
     print(f"[compute_fid] restored step {step} from {ckpt_dir}")
@@ -81,13 +81,10 @@ def main(argv=None):
     def gen_batch(key):
         noise = jax.random.normal(key, (args.batch_size_fid, h, w, c))
         if args.integration_method == "dopri5":
-            # Fixed trip count on backends that cannot run dynamic
-            # while_loops (the axon tunnel — PERF.md); early exit elsewhere.
-            fixed = jax.devices()[0].platform == "tpu"
+            from tpu_diffusion.sampling.ode import dopri5_platform_kwargs
             x1, nfe = odeint(velocity, noise, method="dopri5",
                              rtol=args.tol, atol=args.tol,
-                             max_steps=128 if fixed else 1000,
-                             fixed_trip_count=fixed)
+                             **dopri5_platform_kwargs())
         else:
             x1, nfe = odeint(velocity, noise,
                              method=args.integration_method,

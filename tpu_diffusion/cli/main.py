@@ -90,7 +90,7 @@ def build(config, mesh=None):
 def init_state(config, parts, rng):
     dsc = config.dataset
     x = jnp.zeros((1, dsc.image_size, dsc.image_size, parts["in_channels"]))
-    params = parts["model"].init(rng, x, jnp.zeros((1,)))
+    params = jax.jit(parts["model"].init)(rng, x, jnp.zeros((1,)))
     tx = make_optimizer(config.training.learning_rate,
                         warmup=config.training.warmup,
                         grad_clip=config.training.grad_clip,

@@ -83,7 +83,7 @@ def main(argv=None):
     from tpu_diffusion.protein.sde import ProteinBatch
     init_batch = ProteinBatch.from_positions(
         jnp.zeros((1, args.max_len, 3)), jnp.ones((1, args.max_len), bool))
-    params0 = model.init(jax.random.PRNGKey(0), init_batch, jnp.zeros((1,)))
+    params0 = jax.jit(model.init)(jax.random.PRNGKey(0), init_batch, jnp.zeros((1,)))
     mgr = CheckpointManager(args.ckpt_dir)
     assets, step = mgr.load({"params": params0, "ema": params0, "step": 0})
     params = assets["ema"]

@@ -115,7 +115,9 @@ def make_conditional_sampler(model, method: str = "dopri5",
             return model.apply(params, t, x, cond)
 
         if method == "dopri5":
-            return odeint(v, x0, method="dopri5", rtol=1e-5, atol=1e-5)
+            from tpu_diffusion.sampling.ode import dopri5_platform_kwargs
+            return odeint(v, x0, method="dopri5", rtol=1e-5, atol=1e-5,
+                          **dopri5_platform_kwargs())
         return odeint(v, x0, method=method, num_steps=num_steps)
     return sample
 
@@ -205,7 +207,9 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     x = jnp.zeros((1,) + dim)
     cond0 = condition_fn(rng, x)
-    params = model.init(rng, jnp.zeros((1,)), x, cond0)
+    # jitted init: ONE compiled program instead of hundreds of eager op
+    # dispatches (at 256px, eager init alone exceeds 10 min on the tunnel)
+    params = jax.jit(model.init)(rng, jnp.zeros((1,)), x, cond0)
     print(f"[train_cfm_conditional] {args.task}/{args.dataset}/{args.model}"
           f": {sum(p_.size for p_ in jax.tree.leaves(params))/1e6:.2f}M "
           f"params")
@@ -241,13 +245,15 @@ def main(argv=None):
             "params": state.params, "ema": state.ema.params, "step": step}))
         return results
 
-    every = max(args.num_steps // args.eval_every_div, 1)
     callbacks = [
         PeriodicCallback(callback_fn=lambda step, metrics, **kw:
                          writer.write_scalars(step, metrics),
                          every_steps=50),
-        PeriodicCallback(callback_fn=run_eval, every_steps=every),
     ]
+    if args.eval_every_div > 0:  # 0 disables periodic train-time eval
+        every = max(args.num_steps // args.eval_every_div, 1)
+        callbacks.append(PeriodicCallback(callback_fn=run_eval,
+                                          every_steps=every))
     batches = infinite_batches(train_ds, args.batch_size, seed=args.seed)
     trainer = Trainer(train_step, state, batches, mesh=mesh,
                       callbacks=callbacks)

@@ -139,7 +139,7 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(args.seed)
     x = jnp.zeros((1, 32, 32, 3))
-    params = model.init(rng, jnp.zeros((1,)), x)
+    params = jax.jit(model.init)(rng, jnp.zeros((1,)), x)
     n_params = sum(p_.size for p_ in jax.tree.leaves(params))
     print(f"[train_cifar10] {args.model}: {n_params/1e6:.2f}M params, "
           f"{len(jax.devices())} devices")

@@ -120,7 +120,7 @@ def main(argv=None):
     x = jnp.zeros((2, 28, 28, 1))
     y = jnp.zeros((2,), jnp.int32)
     t0 = jnp.zeros((2,))
-    params = {"flow": model.init(rng, t0, x, y)}
+    params = {"flow": jax.jit(model.init)(rng, t0, x, y)}
     if sf2m:
         params["score"] = score_model.init(jax.random.fold_in(rng, 1),
                                            t0, x, y)

@@ -94,7 +94,7 @@ def main(argv=None):
     init_batch = ProteinBatch.from_positions(
         jnp.zeros((1, args.max_len, 3)),
         jnp.ones((1, args.max_len), bool))
-    params = model.init(rng, init_batch, jnp.zeros((1,)))
+    params = jax.jit(model.init)(rng, init_batch, jnp.zeros((1,)))
     print(f"[train_protein] "
           f"{sum(x.size for x in jax.tree.leaves(params))/1e6:.2f}M params")
 

@@ -183,6 +183,15 @@ def odeint_dopri5(v: VField, x0: Array, t0: float = 0.0, t1: float = 1.0,
     return x1, nfe
 
 
+def dopri5_platform_kwargs(max_steps_fixed: int = 128) -> dict:
+    """Backend-appropriate dopri5 arguments: fixed-trip-count masked scan on
+    TPU (the axon tunnel hangs on dynamic while_loops — PERF.md), early-exit
+    while_loop elsewhere."""
+    if jax.devices()[0].platform == "tpu":
+        return {"fixed_trip_count": True, "max_steps": max_steps_fixed}
+    return {}
+
+
 INTEGRATORS = {
     "euler": odeint_euler,
     "midpoint": odeint_midpoint,
