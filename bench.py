@@ -96,7 +96,13 @@ def main():
     mfu = total_flops / dt / V5E_BF16_PEAK if total_flops else 0.0
     t_roofline = max(total_flops / V5E_BF16_PEAK,
                      total_bytes / V5E_HBM_BW)
-    vs_baseline = t_roofline / dt if t_roofline else 0.0
+    # cost_analysis "bytes accessed" is an UPPER bound on true HBM traffic
+    # (it counts logical accesses; fusion only removes physical ones), so
+    # the ratio can exceed 1 when the program outruns the estimate — report
+    # it saturated at 1.0 (= at the achievable-bandwidth limit) and keep
+    # the raw ratio for the record.
+    ratio = t_roofline / dt if t_roofline else 0.0
+    vs_baseline = min(1.0, ratio)
 
     print(json.dumps({
         "metric": "cifar10_ddim100_samples_per_sec_per_chip",
@@ -106,6 +112,7 @@ def main():
         "batch": BATCH,
         "ddim_steps": DDIM_STEPS,
         "mfu": round(mfu, 4),
+        "roofline_ratio_raw": round(ratio, 4),
         "program_gflops": round(total_flops / 1e9, 2),
         "program_hbm_gb": round(total_bytes / 1e9, 3),
         "roofline_ms": round(t_roofline * 1e3, 3),

@@ -110,9 +110,6 @@ class AttentionBlock(nn.Module):
         else:
             y = GroupNorm32(dtype=self.norm_dtype)(x).reshape(b, h * w, c)
         qkv = nn.Conv(3 * c, (1,), dtype=self.dtype, name="qkv")(y)
-        q, k, v = jnp.split(qkv.reshape(b, h * w, 3, heads, head_dim)
-                            .transpose(2, 0, 3, 1, 4), 3, axis=0)
-        q, k, v = q[0], k[0], v[0]  # [b, heads, T, d]
 
         # "auto": XLA dense below 1024 tokens, Pallas flash at/above — the
         # crossover measured on the v5e (PERF.md: XLA 8us vs Pallas 29us at
@@ -121,24 +118,37 @@ class AttentionBlock(nn.Module):
         if impl == "auto":
             on_tpu = jax.devices()[0].platform == "tpu"
             impl = "pallas" if (on_tpu and h * w >= 1024) else "xla"
+        needs_bhtd = impl == "pallas" or self.sp_mesh is not None
 
-        sp_out = None
-        if self.sp_mesh is not None:
-            from tpu_diffusion.parallel.sp import maybe_sequence_parallel
-            sp_out = maybe_sequence_parallel(q, k, v, self.sp_mesh)
-        if sp_out is not None:
-            out = sp_out
-        elif impl == "pallas":
-            from tpu_diffusion.kernels.attention import flash_attention
-            out = flash_attention(q, k, v)
+        if needs_bhtd:
+            q, k, v = jnp.split(qkv.reshape(b, h * w, 3, heads, head_dim)
+                                .transpose(2, 0, 3, 1, 4), 3, axis=0)
+            q, k, v = q[0], k[0], v[0]  # [b, heads, T, d]
+            sp_out = None
+            if self.sp_mesh is not None:
+                from tpu_diffusion.parallel.sp import maybe_sequence_parallel
+                sp_out = maybe_sequence_parallel(q, k, v, self.sp_mesh)
+            if sp_out is not None:
+                out = sp_out
+            else:
+                from tpu_diffusion.kernels.attention import flash_attention
+                out = flash_attention(q, k, v)
+            out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
         else:
+            # layout-preserving XLA path: heads stay in the trailing axes
+            # ("bqhd,bkhd->bhqk" / "bhqk,bkhd->bqhd"), so no explicit
+            # [b,T,heads,d] <-> [b,heads,T,d] copies bracket the einsums —
+            # they were part of the 9% copy/layout time in the DDIM
+            # profile (PERF.md).
+            r = qkv.reshape(b, h * w, 3, heads, head_dim)
+            q, k, v = r[:, :, 0], r[:, :, 1], r[:, :, 2]  # [b, T, heads, d]
             scale = head_dim ** -0.5
-            logits = jnp.einsum("bhtd,bhsd->bhts", q * scale, k,
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
                                 preferred_element_type=jnp.float32)
             probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-            out = jnp.einsum("bhts,bhsd->bhtd", probs, v)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v
+                             ).reshape(b, h * w, c)
 
-        out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
         out = zero_init_conv(c, (1,), dtype=self.dtype)(out)
         return x + out.reshape(b, h, w, c)
 
