@@ -162,6 +162,59 @@ def test_ddim_sampler_recovers_delta_target(ddpm):
     np.testing.assert_allclose(np.asarray(x0), -0.25, atol=0.03)
 
 
+def test_cached_ddim_reuse1_exact_and_reuse2_close(ddpm):
+    """Encoder-reuse DDIM (arXiv:2312.09608): reuse=1 is bitwise the plain
+    sampler; reuse=2 skips half the encoder passes and stays close."""
+    from tpu_diffusion.models.unet import UNetModel
+    from tpu_diffusion.sampling.ancestral import make_cached_ddim_sampler
+
+    model = UNetModel(in_channels=C, model_channels=8, out_channels=C,
+                      num_res_blocks=1, channel_mult=(1, 2),
+                      attention_resolutions=(2,), num_heads=2,
+                      dtype=jnp.float32)
+    x0s = jnp.zeros((1, H, W, C))
+    params = model.init(jax.random.PRNGKey(0), x0s, jnp.zeros((1,)))
+    # perturb the zero-init output head so eps-hat is non-trivial
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, p: p + 0.05 * jax.random.normal(
+            jax.random.PRNGKey(hash(str(path)) % (2**31)), p.shape)
+        if "conv_out" in str(path) else p, params)
+
+    def eps_fn(xi, i):
+        return model.apply(params, xi, i.astype(jnp.float32)
+                           / ddpm.num_steps)
+
+    def encode_fn(xi, i):
+        return model.apply(params, xi, i.astype(jnp.float32)
+                           / ddpm.num_steps, mode="encode")
+
+    def decode_fn(xi, i, cache):
+        return model.apply(params, xi, i.astype(jnp.float32)
+                           / ddpm.num_steps, mode="decode", cache=cache)
+
+    xT = jax.random.normal(jax.random.PRNGKey(2), (B, H, W, C))
+    plain = make_ddim_sampler(eps_fn, ddpm, num_steps=20)(
+        jax.random.PRNGKey(3), xT)
+    cached1 = make_cached_ddim_sampler(encode_fn, decode_fn, ddpm,
+                                       num_steps=20, encoder_reuse=1)(
+        jax.random.PRNGKey(3), xT)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(cached1),
+                               atol=1e-6, rtol=1e-6)
+    cached2 = make_cached_ddim_sampler(encode_fn, decode_fn, ddpm,
+                                       num_steps=20, encoder_reuse=2)(
+        jax.random.PRNGKey(3), xT)
+    assert np.all(np.isfinite(np.asarray(cached2)))
+    # adjacent-step encoder features are similar -> outputs stay close
+    assert float(jnp.mean(jnp.abs(cached2 - plain))) < 0.05
+
+
+def test_cached_ddim_rejects_indivisible(ddpm):
+    from tpu_diffusion.sampling.ancestral import make_cached_ddim_sampler
+    with pytest.raises(ValueError):
+        make_cached_ddim_sampler(lambda x, i: None, lambda x, i, c: None,
+                                 ddpm, num_steps=10, encoder_reuse=3)
+
+
 def test_replacement_sampler_pins_observed_pixels(ddpm):
     lik = InPainting(patch_size=4, pad_value=-2.0)
     truth = _images(jax.random.PRNGKey(4))

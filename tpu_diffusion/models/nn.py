@@ -131,11 +131,12 @@ class FusedNormAct(nn.Module):
         return y.astype(x.dtype)
 
 
-def zero_init_conv(features: int, kernel=(3, 3), dtype=None) -> nn.Conv:
+def zero_init_conv(features: int, kernel=(3, 3), dtype=None,
+                   name=None) -> nn.Conv:
     """Conv whose kernel and bias start at zero (reference `zero_module`)."""
     return nn.Conv(features, kernel, padding="SAME",
                    kernel_init=nn.initializers.zeros,
-                   bias_init=nn.initializers.zeros, dtype=dtype)
+                   bias_init=nn.initializers.zeros, dtype=dtype, name=name)
 
 
 def nearest_upsample(x: Array, factor: int = 2) -> Array:

@@ -206,79 +206,103 @@ class UNetModel(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, t: Array, y: Optional[Array] = None, *,
-                 train: bool = False) -> Array:
+                 train: bool = False, mode: str = "full",
+                 cache=None):
+        """mode="full" is the plain forward. mode="encode" returns the
+        `(bottleneck, skip-stack)` cache; mode="decode" consumes such a
+        cache (computed at a nearby timestep) and runs only middle+decoder
+        with the CURRENT timestep embedding — encoder-feature reuse across
+        adjacent sampler steps ("Faster Diffusion", arXiv:2312.09608; see
+        `sampling.ancestral.make_ddim_sampler(encoder_reuse=...)`). All
+        submodules carry explicit names so every mode binds the same
+        parameter tree."""
+        assert mode in ("full", "encode", "decode"), mode
         ch0 = self.model_channels
         time_dim = 4 * ch0
         t = jnp.broadcast_to(jnp.asarray(t, jnp.float32),
                              (x.shape[0],))
         emb = timestep_embedding(t * self.time_scale, ch0)
-        emb = nn.Dense(time_dim, dtype=self.dtype)(emb)
-        emb = nn.Dense(time_dim, dtype=self.dtype)(nn.silu(emb))
+        emb = nn.Dense(time_dim, dtype=self.dtype, name="time_dense_0")(emb)
+        emb = nn.Dense(time_dim, dtype=self.dtype,
+                       name="time_dense_1")(nn.silu(emb))
         if self.num_classes is not None:
             assert y is not None, "class-conditional model requires labels"
             emb = emb + nn.Embed(self.num_classes, time_dim,
-                                 dtype=self.dtype)(y)
+                                 dtype=self.dtype, name="class_emb")(y)
 
         block = ResBlock
         if self.use_checkpoint:
             block = nn.remat(ResBlock, static_argnums=())
 
-        def res(h, out_ch, *, up=False, down=False):
+        def res(h, out_ch, name, *, up=False, down=False):
             return block(out_ch, self.dropout, self.use_scale_shift_norm,
                          up, down, self.dtype, self.norm_dtype,
-                         self.norm_impl)(h, emb, deterministic=not train)
+                         self.norm_impl, name=name)(
+                             h, emb, deterministic=not train)
 
-        def attn(h):
+        def attn(h, name):
             return AttentionBlock(self.num_heads, self.num_head_channels,
                                   self.attention_impl, self.dtype,
                                   self.norm_dtype, self.norm_impl,
-                                  self.sp_mesh)(h)
+                                  self.sp_mesh, name=name)(h)
 
-        h = nn.Conv(ch0, (3, 3), padding="SAME", dtype=self.dtype)(
-            x.astype(self.dtype))
-        hs = [h]
-        ds = 1
-        # --- encoder ---
-        for level, mult in enumerate(self.channel_mult):
-            for _ in range(self.num_res_blocks):
-                h = res(h, mult * ch0)
-                if ds in self.attention_resolutions:
-                    h = attn(h)
-                hs.append(h)
-            if level != len(self.channel_mult) - 1:
-                out_ch = mult * ch0
-                if self.resblock_updown:
-                    h = res(h, out_ch, down=True)
-                else:
-                    h = Downsample(out_ch, self.conv_resample, self.dtype)(h)
-                hs.append(h)
-                ds *= 2
+        if mode in ("full", "encode"):
+            h = nn.Conv(ch0, (3, 3), padding="SAME", dtype=self.dtype,
+                        name="conv_in")(x.astype(self.dtype))
+            hs = [h]
+            ds = 1
+            # --- encoder ---
+            for level, mult in enumerate(self.channel_mult):
+                for i in range(self.num_res_blocks):
+                    h = res(h, mult * ch0, f"enc_{level}_{i}")
+                    if ds in self.attention_resolutions:
+                        h = attn(h, f"enc_attn_{level}_{i}")
+                    hs.append(h)
+                if level != len(self.channel_mult) - 1:
+                    out_ch = mult * ch0
+                    if self.resblock_updown:
+                        h = res(h, out_ch, f"down_{level}", down=True)
+                    else:
+                        h = Downsample(out_ch, self.conv_resample,
+                                       self.dtype, name=f"down_{level}")(h)
+                    hs.append(h)
+                    ds *= 2
+            if mode == "encode":
+                return h, tuple(hs)
+        else:
+            assert cache is not None, "mode='decode' requires cache"
+            h, hs_tuple = cache
+            hs = list(hs_tuple)
+            ds = 2 ** (len(self.channel_mult) - 1)
+
         # --- middle ---
         mid_ch = self.channel_mult[-1] * ch0
-        h = res(h, mid_ch)
-        h = attn(h)
-        h = res(h, mid_ch)
+        h = res(h, mid_ch, "mid_res_0")
+        h = attn(h, "mid_attn")
+        h = res(h, mid_ch, "mid_res_1")
         # --- decoder ---
         for level, mult in reversed(list(enumerate(self.channel_mult))):
             for i in range(self.num_res_blocks + 1):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
-                h = res(h, mult * ch0)
+                h = res(h, mult * ch0, f"dec_{level}_{i}")
                 if ds in self.attention_resolutions:
-                    h = attn(h)
+                    h = attn(h, f"dec_attn_{level}_{i}")
                 if level and i == self.num_res_blocks:
                     out_ch = mult * ch0
                     if self.resblock_updown:
-                        h = res(h, out_ch, up=True)
+                        h = res(h, out_ch, f"up_{level}", up=True)
                     else:
                         h = Upsample(out_ch, self.conv_resample,
-                                     self.dtype)(h)
+                                     self.dtype, name=f"up_{level}")(h)
                     ds //= 2
         assert not hs
         if self.norm_impl == "fused":
-            h = FusedNormAct()(h)
+            h = FusedNormAct(name="out_norm")(h)
         else:
-            h = nn.silu(GroupNorm32(dtype=self.norm_dtype)(h))
-        h = zero_init_conv(self.out_channels, dtype=jnp.float32)(
+            h = nn.silu(GroupNorm32(dtype=self.norm_dtype,
+                                    name="out_norm")(h))
+        h = zero_init_conv(self.out_channels, dtype=jnp.float32,
+                           name="conv_out")(
             h.astype(jnp.float32))
         return h
 

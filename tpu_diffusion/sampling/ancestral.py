@@ -233,18 +233,9 @@ def _make_replacement_sampler(eps_fn, ddpm, cond: Replacement, likelihood):
 # ---------------------------------------------------------------------------
 
 
-def make_ddim_sampler(eps_fn: EpsFn, ddpm: DDPM, num_steps: int = 100,
-                      eta: float = 0.0) -> Callable:
-    """Deterministic (eta=0) / stochastic DDIM over a strided substep grid.
-
-    Not present in the reference; this is the fixed-NFE sampler the
-    samples/sec/chip benchmark measures (BASELINE.md north star).
-
-    All per-step schedule scalars are precomputed at trace time and fed to
-    the `lax.scan` as stacked inputs, so the compiled body contains only the
-    UNet forward plus a handful of fused elementwise ops — no buffer gathers.
-    For eta=0 the noise term is dropped before tracing (no per-step RNG).
-    """
+def _ddim_per_step(ddpm: DDPM, num_steps: int, eta: float):
+    """Stacked per-step DDIM coefficients (descending step order):
+    rows of [i, c_x0, c_dir, sqrt(abar), sigma, sr, srm1]."""
     import numpy as np
 
     stride = ddpm.num_steps // num_steps
@@ -262,10 +253,37 @@ def make_ddim_sampler(eps_fn: EpsFn, ddpm: DDPM, num_steps: int = 100,
     # x0 = sr * xi - srm1 * eps (predict_start_from_noise, un-gathered)
     sr = np.sqrt(1.0 / abar)
     srm1 = np.sqrt(1.0 / abar - 1.0)
-    # descending step order, one stacked row per scan iteration
-    per_step = jnp.asarray(
+    return jnp.asarray(
         np.stack([steps.astype(np.float64), c_x0, c_dir, c_sqrt_abar,
                   sigma, sr, srm1], axis=-1)[::-1], jnp.float32)
+
+
+def _ddim_update(xi, eps, row, key, eta):
+    """One DDIM update from a coefficient row; returns (xi_next, key)."""
+    i, cx0, cdir, sab, sig, sr, srm1 = (
+        row[0], row[1], row[2], row[3], row[4], row[5], row[6])
+    del i
+    x0 = process_x0(sr * xi - srm1 * eps)
+    xi_next = cx0 * x0 + cdir * (xi - sab * x0)
+    if eta != 0.0:
+        key, nk = jax.random.split(key)
+        xi_next = xi_next + sig * jax.random.normal(nk, xi.shape, xi.dtype)
+    return xi_next, key
+
+
+def make_ddim_sampler(eps_fn: EpsFn, ddpm: DDPM, num_steps: int = 100,
+                      eta: float = 0.0) -> Callable:
+    """Deterministic (eta=0) / stochastic DDIM over a strided substep grid.
+
+    Not present in the reference; this is the fixed-NFE sampler the
+    samples/sec/chip benchmark measures (BASELINE.md north star).
+
+    All per-step schedule scalars are precomputed at trace time and fed to
+    the `lax.scan` as stacked inputs, so the compiled body contains only the
+    UNet forward plus a handful of fused elementwise ops — no buffer gathers.
+    For eta=0 the noise term is dropped before tracing (no per-step RNG).
+    """
+    per_step = _ddim_per_step(ddpm, num_steps, eta)
 
     def sample(key: Array, xT: Array,
                condition: Optional[Array] = None) -> Array:
@@ -274,19 +292,66 @@ def make_ddim_sampler(eps_fn: EpsFn, ddpm: DDPM, num_steps: int = 100,
 
         def body(carry, row):
             xi, key = carry
-            i, cx0, cdir, sab, sig, sr, srm1 = (
-                row[0], row[1], row[2], row[3], row[4], row[5], row[6])
-            ib = jnp.full((xi.shape[0],), i.astype(jnp.int32))
+            ib = jnp.full((xi.shape[0],), row[0].astype(jnp.int32))
             eps = fn(xi, ib)
-            x0 = process_x0(sr * xi - srm1 * eps)
-            xi_next = cx0 * x0 + cdir * (xi - sab * x0)
-            if eta != 0.0:
-                key, nk = jax.random.split(key)
-                xi_next = xi_next + sig * jax.random.normal(
-                    nk, xi.shape, xi.dtype)
+            xi_next, key = _ddim_update(xi, eps, row, key, eta)
             return (xi_next, key), None
 
         (x0, _), _ = jax.lax.scan(body, (xT, key), per_step)
+        return process_x0(x0)
+
+    return sample
+
+
+def make_cached_ddim_sampler(encode_fn: Callable, decode_fn: Callable,
+                             ddpm: DDPM, num_steps: int = 100,
+                             eta: float = 0.0,
+                             encoder_reuse: int = 2) -> Callable:
+    """DDIM with encoder-feature reuse across adjacent steps
+    ("Faster Diffusion", arXiv:2312.09608; PAPERS.md).
+
+    The UNet encoder's skip features change slowly between neighbouring
+    timesteps, so the sampler refreshes the `(bottleneck, skips)` cache via
+    `encode_fn(x_cat, i) -> cache` only every `encoder_reuse`-th step and
+    runs `decode_fn(x_cat, i, cache) -> eps` (middle + decoder, with the
+    CURRENT timestep embedding) on the steps in between — skipping roughly
+    half the UNet on the skipped steps. `encoder_reuse=1` is EXACTLY the
+    plain DDIM sampler (pinned by tests/test_conditioning.py).
+
+    The step grid is processed in groups of `encoder_reuse` inside one
+    `lax.scan` (inner steps unrolled), keeping the whole chain one compiled
+    program like every other sampler here.
+    """
+    if num_steps % encoder_reuse:
+        raise ValueError(f"num_steps={num_steps} must divide by "
+                         f"encoder_reuse={encoder_reuse}")
+    per_step = _ddim_per_step(ddpm, num_steps, eta)
+    groups = per_step.reshape(num_steps // encoder_reuse, encoder_reuse, -1)
+
+    def sample(key: Array, xT: Array,
+               condition: Optional[Array] = None) -> Array:
+        if condition is None:
+            enc = encode_fn
+            dec = decode_fn
+        else:
+            enc = lambda xi, i: encode_fn(
+                jnp.concatenate([xi, condition], axis=-1), i)
+            dec = lambda xi, i, cache: decode_fn(
+                jnp.concatenate([xi, condition], axis=-1), i, cache)
+
+        def body(carry, rows):
+            xi, key = carry
+            cache = None
+            for j in range(encoder_reuse):
+                row = rows[j]
+                ib = jnp.full((xi.shape[0],), row[0].astype(jnp.int32))
+                if j == 0:
+                    cache = enc(xi, ib)
+                eps = dec(xi, ib, cache)
+                xi, key = _ddim_update(xi, eps, row, key, eta)
+            return (xi, key), None
+
+        (x0, _), _ = jax.lax.scan(body, (xT, key), groups)
         return process_x0(x0)
 
     return sample
