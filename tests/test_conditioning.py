@@ -208,6 +208,59 @@ def test_cached_ddim_reuse1_exact_and_reuse2_close(ddpm):
     assert float(jnp.mean(jnp.abs(cached2 - plain))) < 0.05
 
 
+def test_cached_amortized_reuse1_bitwise_exact(ddpm):
+    """make_cached_amortized_sampler(encoder_reuse=1) reproduces the plain
+    amortized ancestral sampler bit for bit (same PRNG stream)."""
+    from tpu_diffusion.models.unet import UNetModel
+    from tpu_diffusion.sampling.ancestral import (
+        make_cached_amortized_sampler)
+
+    lik = InPainting(patch_size=4, pad_value=-2.0)
+    # n_corrector=0: with correctors the cached sampler decodes corrector
+    # iterates from the step's cache (by design), which differs from the
+    # plain sampler's per-iterate encoder recompute.
+    cond = Amortized(n_corrector=0, delta=0.1)
+    model = UNetModel(in_channels=2 * C, model_channels=8, out_channels=C,
+                      num_res_blocks=1, channel_mult=(1, 2),
+                      attention_resolutions=(), dtype=jnp.float32)
+    x0s = jnp.zeros((1, H, W, 2 * C))
+    params = model.init(jax.random.PRNGKey(0), x0s, jnp.zeros((1,)))
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, p: p + 0.05 * jax.random.normal(
+            jax.random.PRNGKey(hash(str(path)) % (2**31)), p.shape)
+        if "conv_out" in str(path) else p, params)
+
+    def eps_fn(xi, i):
+        return model.apply(params, xi,
+                           i.astype(jnp.float32) / ddpm.num_steps)
+
+    def encode_fn(xi, i):
+        return model.apply(params, xi,
+                           i.astype(jnp.float32) / ddpm.num_steps,
+                           mode="encode")
+
+    def decode_fn(xi, i, cache):
+        return model.apply(params, xi,
+                           i.astype(jnp.float32) / ddpm.num_steps,
+                           mode="decode", cache=cache)
+
+    truth = _images(jax.random.PRNGKey(4))
+    condition = lik.sample(jax.random.PRNGKey(5), truth)
+    xT = jax.random.normal(jax.random.PRNGKey(6), (B, H, W, C))
+    plain = make_conditional_sampler(eps_fn, ddpm, cond, lik)(
+        jax.random.PRNGKey(7), xT, condition)
+    cached = make_cached_amortized_sampler(
+        encode_fn, decode_fn, ddpm, cond, lik, encoder_reuse=1)(
+        jax.random.PRNGKey(7), xT, condition)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(cached),
+                               atol=1e-6, rtol=1e-6)
+    cond_c = Amortized(n_corrector=1, delta=0.1)
+    cached2 = make_cached_amortized_sampler(
+        encode_fn, decode_fn, ddpm, cond_c, lik, encoder_reuse=4)(
+        jax.random.PRNGKey(7), xT, condition)
+    assert np.all(np.isfinite(np.asarray(cached2)))
+
+
 def test_cached_ddim_rejects_indivisible(ddpm):
     from tpu_diffusion.sampling.ancestral import make_cached_ddim_sampler
     with pytest.raises(ValueError):

@@ -117,9 +117,32 @@ def make_losses_and_samplers(config, parts, params_getter):
         _, em = get_loss_function(net_with(params), ddpm, cond, lik)
         return em
 
+    reuse = int(config.testing.get("encoder_reuse", 1))
+
     @jax.jit
     def cond_sample(params, key, xT, condition):
-        sampler = make_conditional_sampler(eps_with(params), ddpm, cond, lik)
+        from tpu_diffusion.conditioning.guidance import Amortized
+        if reuse > 1 and isinstance(cond, Amortized):
+            # encoder-feature reuse across reverse steps (PERF.md);
+            # the i -> t adapter mirrors losses.ddpm.make_eps_model
+            from tpu_diffusion.sampling.ancestral import (
+                make_cached_amortized_sampler)
+            p = params
+
+            def encode_fn(xi, i):
+                return model.apply(p, xi, i.astype(jnp.float32)
+                                   / ddpm.num_steps, mode="encode")
+
+            def decode_fn(xi, i, cache):
+                return model.apply(p, xi, i.astype(jnp.float32)
+                                   / ddpm.num_steps, mode="decode",
+                                   cache=cache)
+
+            sampler = make_cached_amortized_sampler(
+                encode_fn, decode_fn, ddpm, cond, lik, encoder_reuse=reuse)
+        else:
+            sampler = make_conditional_sampler(eps_with(params), ddpm, cond,
+                                               lik)
         return sampler(key, xT, condition)
 
     @jax.jit

@@ -161,6 +161,55 @@ def _make_amortized_sampler(eps_fn, ddpm, cond: Amortized, likelihood):
     return sample
 
 
+def make_cached_amortized_sampler(encode_fn: Callable, decode_fn: Callable,
+                                  ddpm: DDPM, cond: Amortized,
+                                  likelihood: Likelihood,
+                                  encoder_reuse: int = 2) -> Callable:
+    """Amortized ancestral sampling with encoder-feature reuse
+    (arXiv:2312.09608) — the same caching scheme as
+    `make_cached_ddim_sampler`, applied to the reference's 1000-step
+    conditional eval path (sampling.py:81-133): the UNet encoder cache
+    refreshes every `encoder_reuse`-th reverse step; posterior and
+    corrector steps in between decode from it with the current timestep
+    embedding (corrector iterates share their step's cache too).
+    `encoder_reuse=1` with `n_corrector=0` reproduces
+    `_make_amortized_sampler` bitwise (pinned by tests)."""
+    if ddpm.num_steps % encoder_reuse:
+        raise ValueError(f"num_steps={ddpm.num_steps} must divide by "
+                         f"encoder_reuse={encoder_reuse}")
+    groups = jnp.arange(ddpm.num_steps - 1, -1, -1).reshape(
+        ddpm.num_steps // encoder_reuse, encoder_reuse)
+
+    def sample(key: Array, xT: Array, condition: Array) -> Array:
+        enc = lambda xi, ib: encode_fn(
+            jnp.concatenate([xi, condition], axis=-1), ib)
+        dec = lambda xi, ib, cache: decode_fn(
+            jnp.concatenate([xi, condition], axis=-1), ib, cache)
+
+        def body(carry, idx_row):
+            xi, key = carry
+            cache = None
+            for j in range(encoder_reuse):
+                ib = _batched(idx_row[j], xi.shape[0])
+                # key discipline mirrors _reverse_scan + the amortized
+                # step exactly, so encoder_reuse=1 is bitwise-identical
+                key, sk = jax.random.split(key)
+                k1, k2 = jax.random.split(sk)
+                if j == 0:
+                    cache = enc(xi, ib)
+                x0_model = lambda x, i: process_x0(
+                    ddpm.predict_start_from_noise(x, i, dec(x, i, cache)))
+                xi = _posterior_step(k1, ddpm, x0_model(xi, ib), xi, ib)
+                xi = _corrector_steps(k2, x0_model, ddpm, xi, ib,
+                                      cond.n_corrector, cond.delta)
+            return (xi, key), None
+
+        (x0, _), _ = jax.lax.scan(body, (xT, key), groups)
+        return process_x0(x0)
+
+    return sample
+
+
 def _make_guidance_sampler(eps_fn, ddpm, cond: ReconstructionGuidance,
                            likelihood):
     start_step = int(ddpm.num_steps * cond.start_fraction)

@@ -140,6 +140,10 @@ def get_config(spec: str = "mnist,inpainting,amortized"
     config.testing.num_test = 96
     config.testing.batch_size = 32
     config.testing.seed = 0
+    # >1: refresh the UNet encoder cache every K-th reverse step during
+    # amortized conditional sampling (arXiv:2312.09608; PERF.md) — ~1.4x
+    # faster eval, opt-in pending a trained-model FID acceptance
+    config.testing.encoder_reuse = 1
 
     # parallelism (new: mesh layout)
     config.mesh = ml_collections.ConfigDict()
