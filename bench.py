@@ -24,9 +24,17 @@ PERF.md for the measured per-op breakdown. Raw MFU is still reported as
 """
 
 import json
+import os
 import time
 
 import jax
+
+# Persistent compilation cache: the two sampler compiles cost ~10 min cold
+# on the axon tunnel; with the cache a fresh process reuses them.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_tpu_diffusion"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import jax.numpy as jnp
 
 from tpu_diffusion.core.schedules import DDPM
