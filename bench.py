@@ -10,17 +10,31 @@ with fp32 statistics, bf16 weights.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 where vs_baseline is the fraction of the chip's ROOFLINE-bound step time
-achieved, with the roofline the standard bandwidth-aware one:
+achieved, with an IMPLEMENTATION-INDEPENDENT denominator (r2 verdict/
+advisor: the old one divided by the program's own compiled-HLO
+bytes-accessed, which rises when the program moves more bytes, and was
+capped at 1.0):
 
-    T_roofline = max(total_flops / peak_bf16_flops,
-                     total_hbm_bytes / peak_hbm_bw)
-    vs_baseline = T_roofline / T_measured
+    T_floor     = steps * max(flops / peak_bf16_flops,
+                              min_bytes / peak_hbm_bw)
+    vs_baseline = T_floor / T_measured            (uncapped)
 
-(the UNet at 32x32 is memory-bound: its compiled HLO moves ~7.4 bytes/flop
-/ 481 needed for MXU saturation, so a pure-compute "fraction of peak FLOPs"
-denominator is unreachable by ANY implementation of this workload — see
-PERF.md for the measured per-op breakdown. Raw MFU is still reported as
-`mfu`.) FLOPs and bytes come from the compiled sampler's own cost analysis.
+`min_bytes` is an analytic minimal-traffic model derived from the
+ARCHITECTURE, not the compiled program: every Conv/Dense call in the UNet
+must read its input activation + weights from HBM and write its output
+(captured with a flax method interceptor under `jax.eval_shape`,
+dtype-aware); all elementwise/norm/softmax work is assumed perfectly fused
+(free), and attention is charged nothing beyond its surrounding 1x1 convs
+(a perfect flash kernel keeps the T^2 matrix in VMEM). No real program
+can move fewer bytes while computing the same convs with HBM-resident
+activations, so the ratio is a true efficiency fraction: 1.0 = every
+byte at peak bandwidth with zero un-fusable overhead.
+
+The previous program-derived ratio is kept as `roofline_ratio_hlo`
+(its denominator = compiled cost-analysis "bytes accessed", an upper
+bound on physical traffic), and raw MFU as `mfu` — the workload is
+memory-bound (~174 FLOP/byte vs the 481 a v5e needs), so MFU cannot
+approach 1 for ANY implementation of this UNet (PERF.md).
 """
 
 import json
@@ -36,6 +50,7 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 import jax.numpy as jnp
+import numpy as np
 
 from tpu_diffusion.core.schedules import DDPM
 from tpu_diffusion.models.unet import create_model
@@ -46,6 +61,45 @@ DDIM_STEPS = 100
 # one TPU v5e (v5litepod) chip: bf16 peak FLOP/s and HBM bandwidth
 V5E_BF16_PEAK = 394e12
 V5E_HBM_BW = 819e9
+
+
+def analytic_min_bytes(model, params, x, t) -> int:
+    """Architecture-derived minimal HBM traffic of one forward pass.
+
+    Sum over every nn.Conv / nn.Dense call of
+      bytes(input activation) + bytes(weights) + bytes(output),
+    captured structurally (flax intercept_methods under jax.eval_shape —
+    no compute, no compiled program involved). Elementwise/norm/attention
+    ops are assumed perfectly fused into these anchors, which is the
+    fusion OPTIMUM — so this is a lower bound no implementation of the
+    same architecture can beat with HBM-resident layer activations.
+    """
+    from flax import linen as fnn
+
+    total = [0]
+
+    def nbytes(sd) -> int:
+        return int(np.prod(sd.shape)) * sd.dtype.itemsize
+
+    def interceptor(next_fn, args, kwargs, context):
+        out = next_fn(*args, **kwargs)
+        if (isinstance(context.module, (fnn.Conv, fnn.Dense))
+                and context.method_name == "__call__"):
+            inp = args[0]
+            cin = inp.shape[-1]
+            if isinstance(context.module, fnn.Conv):
+                ksize = int(np.prod(context.module.kernel_size))
+                features = context.module.features
+            else:
+                ksize, features = 1, context.module.features
+            w_bytes = ksize * cin * features * out.dtype.itemsize
+            total[0] += nbytes(inp) + w_bytes + nbytes(out)
+        return out
+
+    with fnn.intercept_methods(interceptor):
+        jax.eval_shape(lambda p, xx, tt: model.apply(p, xx, tt),
+                       params, x, t)
+    return total[0]
 
 
 def main():
@@ -86,6 +140,12 @@ def main():
     total_flops = step_flops * DDIM_STEPS
     total_bytes = step_bytes * DDIM_STEPS
 
+    # implementation-independent floor: conv/dense traffic from the
+    # architecture itself (+ the DDIM x-update: read + write x per step)
+    fwd_min_bytes = analytic_min_bytes(model, params, x, t)
+    ddim_update_bytes = 2 * BATCH * 32 * 32 * 3 * 4
+    min_bytes_total = (fwd_min_bytes + ddim_update_bytes) * DDIM_STEPS
+
     out = compiled(key, xT)
     out.block_until_ready()  # warm up
 
@@ -96,21 +156,20 @@ def main():
     # A blocking host read, not just block_until_ready: on the axon backend
     # block_until_ready returns before remote completion (measured in
     # PERF.md); the scalar read costs ~28 ms fixed (<1% of the loop).
-    import numpy as np
     _ = float(np.asarray(out).ravel()[0])
     dt = (time.perf_counter() - t0) / n_iters
 
     samples_per_sec = BATCH / dt
     mfu = total_flops / dt / V5E_BF16_PEAK if total_flops else 0.0
-    t_roofline = max(total_flops / V5E_BF16_PEAK,
-                     total_bytes / V5E_HBM_BW)
-    # cost_analysis "bytes accessed" is an UPPER bound on true HBM traffic
-    # (it counts logical accesses; fusion only removes physical ones), so
-    # the ratio can exceed 1 when the program outruns the estimate — report
-    # it saturated at 1.0 (= at the achievable-bandwidth limit) and keep
-    # the raw ratio for the record.
-    ratio = t_roofline / dt if t_roofline else 0.0
-    vs_baseline = min(1.0, ratio)
+    t_floor = max(total_flops / V5E_BF16_PEAK,
+                  min_bytes_total / V5E_HBM_BW)
+    # UNCAPPED analytic-floor ratio (r2 advisor): a number < 1 with real
+    # headroom semantics; regressions move it down, optimizations up.
+    vs_baseline = t_floor / dt if t_floor else 0.0
+    # secondary: the compiled program's own cost-analysis roofline
+    # ("bytes accessed" = upper bound on physical traffic, can exceed 1)
+    t_hlo = max(total_flops / V5E_BF16_PEAK, total_bytes / V5E_HBM_BW)
+    ratio_hlo = t_hlo / dt if t_hlo else 0.0
 
     print(json.dumps({
         "metric": "cifar10_ddim100_samples_per_sec_per_chip",
@@ -120,10 +179,12 @@ def main():
         "batch": BATCH,
         "ddim_steps": DDIM_STEPS,
         "mfu": round(mfu, 4),
-        "roofline_ratio_raw": round(ratio, 4),
+        "roofline_ratio_hlo": round(ratio_hlo, 4),
         "program_gflops": round(total_flops / 1e9, 2),
         "program_hbm_gb": round(total_bytes / 1e9, 3),
-        "roofline_ms": round(t_roofline * 1e3, 3),
+        "analytic_min_hbm_gb": round(min_bytes_total / 1e9, 3),
+        "floor_ms": round(t_floor * 1e3, 3),
+        "hlo_roofline_ms": round(t_hlo * 1e3, 3),
         "measured_ms": round(dt * 1e3, 3),
         "step_time_ms": round(dt * 1000 / DDIM_STEPS, 3),
         "device": str(jax.devices()[0]),

@@ -1,0 +1,98 @@
+"""SP/TP user-surface tests (VERDICT r2 item 7): the config/CLI knobs
+`mesh.model_axis` / `network.sequence_parallel` (cli/main.py) and
+`--model_axis` / `--sequence_parallel` (cli/train_cfm_conditional.py) must
+reach `create_model(sp_mesh=...)` and `Trainer(tensor_parallel=True)`, and
+a TP+SP train step must agree with the replicated step on the 8-device CPU
+mesh (SURVEY §5.7/§5.8)."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_diffusion.cli.train_cfm_conditional import (build, make_condition_fn,
+                                                     make_loss_fn)
+from tpu_diffusion.losses.cfm import get_matcher
+from tpu_diffusion.parallel.mesh import make_mesh
+from tpu_diffusion.train.trainer import (TrainState, Trainer, make_optimizer,
+                                         make_train_step)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs the 8-device CPU mesh")
+
+
+def _one_step(model_axis: int, sequence_parallel: bool):
+    """One jitted+sharded train step of the superres CFM config through the
+    same wiring the CLI uses; returns (loss, params)."""
+    mesh = make_mesh(model=model_axis)
+    model, dim = build(
+        "superres", "mnist", attention_impl="xla", num_channels=8,
+        sp_mesh=mesh if sequence_parallel else None)
+    matcher = get_matcher("icfm", sigma=0.0)
+    condition_fn = make_condition_fn("superres", dim, 14, -2.0, 4)
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((8,) + dim)
+    params = jax.jit(model.init)(rng, jnp.zeros((8,)), x,
+                                 condition_fn(rng, x))
+    tx = make_optimizer(1e-3, warmup=0, grad_clip=1.0)
+    state = TrainState.create(params, tx, rng)
+    loss_fn = make_loss_fn(model, matcher, condition_fn, "superres",
+                           False, -2.0)
+    train_step = make_train_step(loss_fn, tx)
+
+    batch = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(7), (8,) + dim) * 2 - 1)
+    trainer = Trainer(train_step, state, iter([batch]), mesh=mesh,
+                      tensor_parallel=model_axis > 1)
+    losses = []
+    state = trainer.fit(1, metrics_hook=lambda s, m: losses.append(
+        m["loss"]))
+    params_out = jax.tree.map(np.asarray, state.params)
+    return losses[0], params_out
+
+
+def test_tp_sp_step_matches_replicated():
+    loss_dp, params_dp = _one_step(model_axis=1, sequence_parallel=False)
+    loss_tp, params_tp = _one_step(model_axis=2, sequence_parallel=True)
+    # same batch, same init: TP resharding + ring attention only change
+    # reduction orders (bf16 activations), not the math
+    assert abs(loss_dp - loss_tp) < 5e-3 * max(1.0, abs(loss_dp))
+    flat_dp = jax.tree.leaves(params_dp)
+    flat_tp = jax.tree.leaves(params_tp)
+    for a, b in zip(flat_dp, flat_tp):
+        np.testing.assert_allclose(a, b, atol=5e-3, rtol=5e-3)
+
+
+def test_cfm_cli_accepts_sp_tp_flags(tmp_path):
+    from tpu_diffusion.cli.train_cfm_conditional import main
+    main(["--task", "superres", "--dataset", "mnist", "--model", "icfm",
+          "--num_steps", "2", "--batch_size", "8", "--num_channels", "8",
+          "--model_axis", "2", "--sequence_parallel",
+          "--eval_every_div", "0", "--eval_batches", "1",
+          "--eval_batch_size", "8", "--eval_method", "euler",
+          "--eval_ode_steps", "2",
+          "--output_dir", str(tmp_path)])
+
+
+def test_experiment_config_knobs_reach_model_and_trainer():
+    """cli/main.build honors network.sequence_parallel; the Trainer call
+    passes tensor_parallel from mesh.model_axis (source-level contract)."""
+    from tpu_diffusion.cli.main import build as main_build
+    from tpu_diffusion.utils.config import apply_overrides, get_config
+
+    config = get_config("mnist,inpainting,amortized")
+    apply_overrides(config, ["mesh.model_axis=2",
+                             "network.sequence_parallel=True"])
+    assert config.mesh.model_axis == 2
+    mesh = make_mesh(model=config.mesh.model_axis)
+    parts = main_build(config, mesh)
+    assert parts["model"].sp_mesh is mesh
+    x = jnp.zeros((4, 28, 28, parts["in_channels"]))
+    params = jax.jit(parts["model"].init)(jax.random.PRNGKey(0), x,
+                                          jnp.zeros((4,)))
+    out = parts["model"].apply(params, x, jnp.zeros((4,)))
+    assert out.shape == (4, 28, 28, 1)

@@ -70,8 +70,10 @@ def test_memory_datasets_and_keepfields():
     assert ds["10"]["v"] == 0.5
 
 
-def test_lmdb_gated():
-    with pytest.raises(ImportError):
+def test_lmdb_missing_file_raises():
+    # with the pure-Python fallback the gate is now on the file, not the
+    # module (see tests/test_lmdb.py for the format round-trip)
+    with pytest.raises(Exception):
         LMDBDataset("/tmp/nonexistent_lmdb")
 
 

@@ -1,0 +1,369 @@
+"""Cross-implementation validation of the FID-Inception and VGG-LPIPS
+feature graphs against independent PyTorch mirrors (VERDICT r2 item 2).
+
+The flax graphs in `eval/inception.py` / `eval/lpips.py` claim "drop
+pretrained weights in and get exact parity" with the reference protocols
+(cifar10/compute_fid.py:92-100 via cleanfid/pytorch-fid's
+pt_inception-2015-12-05; LPIPS(vgg) via the `lpips` package). These tests
+build a minimal torch mirror of each architecture — written independently
+against the pytorch-fid / torchvision block definitions — inject IDENTICAL
+weights into both frameworks, and assert the activations agree. Any
+transcription bug in either graph (wrong padding, wrong pool semantics,
+wrong branch order, wrong eps) breaks the agreement.
+
+Runs on CPU, fp32; skipped cleanly when torch is unavailable.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+tnn = torch.nn
+F = torch.nn.functional
+
+
+# ---------------------------------------------------------------------------
+# Torch mirror of the FID InceptionV3 (pytorch-fid FIDInception* semantics)
+# ---------------------------------------------------------------------------
+
+
+class TBasicConv(tnn.Module):
+    def __init__(self, cin, cout, k, stride=1, padding=0):
+        super().__init__()
+        self.conv = tnn.Conv2d(cin, cout, k, stride, padding, bias=False)
+        self.bn = tnn.BatchNorm2d(cout, eps=1e-3)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+def _avg3(x):
+    # FIDInceptionA/C/E branch pool: count_include_pad=False
+    return F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+
+
+class TInceptionA(tnn.Module):
+    def __init__(self, cin, pool_features):
+        super().__init__()
+        self.branch1x1 = TBasicConv(cin, 64, 1)
+        self.branch5x5_1 = TBasicConv(cin, 48, 1)
+        self.branch5x5_2 = TBasicConv(48, 64, 5, padding=2)
+        self.branch3x3dbl_1 = TBasicConv(cin, 64, 1)
+        self.branch3x3dbl_2 = TBasicConv(64, 96, 3, padding=1)
+        self.branch3x3dbl_3 = TBasicConv(96, 96, 3, padding=1)
+        self.branch_pool = TBasicConv(cin, pool_features, 1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b5 = self.branch5x5_2(self.branch5x5_1(x))
+        b3 = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        bp = self.branch_pool(_avg3(x))
+        return torch.cat([b1, b5, b3, bp], 1)
+
+
+class TInceptionB(tnn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3 = TBasicConv(cin, 384, 3, stride=2)
+        self.branch3x3dbl_1 = TBasicConv(cin, 64, 1)
+        self.branch3x3dbl_2 = TBasicConv(64, 96, 3, padding=1)
+        self.branch3x3dbl_3 = TBasicConv(96, 96, 3, stride=2)
+
+    def forward(self, x):
+        b3 = self.branch3x3(x)
+        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        bp = F.max_pool2d(x, 3, stride=2)
+        return torch.cat([b3, bd, bp], 1)
+
+
+class TInceptionC(tnn.Module):
+    def __init__(self, cin, c7):
+        super().__init__()
+        self.branch1x1 = TBasicConv(cin, 192, 1)
+        self.branch7x7_1 = TBasicConv(cin, c7, 1)
+        self.branch7x7_2 = TBasicConv(c7, c7, (1, 7), padding=(0, 3))
+        self.branch7x7_3 = TBasicConv(c7, 192, (7, 1), padding=(3, 0))
+        self.branch7x7dbl_1 = TBasicConv(cin, c7, 1)
+        self.branch7x7dbl_2 = TBasicConv(c7, c7, (7, 1), padding=(3, 0))
+        self.branch7x7dbl_3 = TBasicConv(c7, c7, (1, 7), padding=(0, 3))
+        self.branch7x7dbl_4 = TBasicConv(c7, c7, (7, 1), padding=(3, 0))
+        self.branch7x7dbl_5 = TBasicConv(c7, 192, (1, 7), padding=(0, 3))
+        self.branch_pool = TBasicConv(cin, 192, 1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+            self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+        bp = self.branch_pool(_avg3(x))
+        return torch.cat([b1, b7, bd, bp], 1)
+
+
+class TInceptionD(tnn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3_1 = TBasicConv(cin, 192, 1)
+        self.branch3x3_2 = TBasicConv(192, 320, 3, stride=2)
+        self.branch7x7x3_1 = TBasicConv(cin, 192, 1)
+        self.branch7x7x3_2 = TBasicConv(192, 192, (1, 7), padding=(0, 3))
+        self.branch7x7x3_3 = TBasicConv(192, 192, (7, 1), padding=(3, 0))
+        self.branch7x7x3_4 = TBasicConv(192, 192, 3, stride=2)
+
+    def forward(self, x):
+        b3 = self.branch3x3_2(self.branch3x3_1(x))
+        b7 = self.branch7x7x3_4(self.branch7x7x3_3(self.branch7x7x3_2(
+            self.branch7x7x3_1(x))))
+        bp = F.max_pool2d(x, 3, stride=2)
+        return torch.cat([b3, b7, bp], 1)
+
+
+class TInceptionE(tnn.Module):
+    def __init__(self, cin, pool_kind):
+        super().__init__()
+        self.pool_kind = pool_kind
+        self.branch1x1 = TBasicConv(cin, 320, 1)
+        self.branch3x3_1 = TBasicConv(cin, 384, 1)
+        self.branch3x3_2a = TBasicConv(384, 384, (1, 3), padding=(0, 1))
+        self.branch3x3_2b = TBasicConv(384, 384, (3, 1), padding=(1, 0))
+        self.branch3x3dbl_1 = TBasicConv(cin, 448, 1)
+        self.branch3x3dbl_2 = TBasicConv(448, 384, 3, padding=1)
+        self.branch3x3dbl_3a = TBasicConv(384, 384, (1, 3), padding=(0, 1))
+        self.branch3x3dbl_3b = TBasicConv(384, 384, (3, 1), padding=(1, 0))
+        self.branch_pool = TBasicConv(cin, 192, 1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)],
+                       1)
+        if self.pool_kind == "max":  # FIDInceptionE_2 (Mixed_7c)
+            bp = F.max_pool2d(x, 3, stride=1, padding=1)
+        else:                        # FIDInceptionE_1 (Mixed_7b)
+            bp = _avg3(x)
+        bp = self.branch_pool(bp)
+        return torch.cat([b1, b3, bd, bp], 1)
+
+
+class TInceptionV3Features(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.Conv2d_1a_3x3 = TBasicConv(3, 32, 3, stride=2)
+        self.Conv2d_2a_3x3 = TBasicConv(32, 32, 3)
+        self.Conv2d_2b_3x3 = TBasicConv(32, 64, 3, padding=1)
+        self.Conv2d_3b_1x1 = TBasicConv(64, 80, 1)
+        self.Conv2d_4a_3x3 = TBasicConv(80, 192, 3)
+        self.Mixed_5b = TInceptionA(192, 32)
+        self.Mixed_5c = TInceptionA(256, 64)
+        self.Mixed_5d = TInceptionA(288, 64)
+        self.Mixed_6a = TInceptionB(288)
+        self.Mixed_6b = TInceptionC(768, 128)
+        self.Mixed_6c = TInceptionC(768, 160)
+        self.Mixed_6d = TInceptionC(768, 160)
+        self.Mixed_6e = TInceptionC(768, 192)
+        self.Mixed_7a = TInceptionD(768)
+        self.Mixed_7b = TInceptionE(1280, "avg")
+        self.Mixed_7c = TInceptionE(2048, "max")
+
+    def forward(self, x):
+        x = self.Conv2d_1a_3x3(x)
+        x = self.Conv2d_2a_3x3(x)
+        x = self.Conv2d_2b_3x3(x)
+        x = F.max_pool2d(x, 3, stride=2)
+        x = self.Conv2d_3b_1x1(x)
+        x = self.Conv2d_4a_3x3(x)
+        x = F.max_pool2d(x, 3, stride=2)
+        for name in ["Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a",
+                     "Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e",
+                     "Mixed_7a", "Mixed_7b", "Mixed_7c"]:
+            x = getattr(self, name)(x)
+        return x.mean(dim=(2, 3))
+
+
+def _copy_inception_weights(variables, tmodel):
+    """Inject the flax variables into the torch mirror (names are shared)."""
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def rec(pnode, snode, tmod):
+        for name, sub in pnode.items():
+            if name == "conv":
+                w = np.asarray(sub["kernel"]).transpose(3, 2, 0, 1)
+                tmod.conv.weight.data = torch.tensor(w)
+            elif name == "bn":
+                tmod.bn.weight.data.fill_(1.0)  # flax use_scale=False
+                tmod.bn.bias.data = torch.tensor(np.asarray(sub["bias"]))
+                tmod.bn.running_mean.data = torch.tensor(
+                    np.asarray(snode["bn"]["mean"]))
+                tmod.bn.running_var.data = torch.tensor(
+                    np.asarray(snode["bn"]["var"]))
+            else:
+                rec(sub, snode.get(name, {}), getattr(tmod, name))
+
+    rec(params, stats, tmodel)
+
+
+def _randomize_bn(variables, seed=0):
+    """Random BN biases/statistics so the stats mapping is actually tested
+    (fresh init is mean=0/var=1/bias=0 — near-identity)."""
+    rng = np.random.default_rng(seed)
+
+    def walk(node, is_stats):
+        for k, v in node.items():
+            if k == "bn":
+                for leaf in v:
+                    arr = rng.normal(0, 0.1, np.shape(v[leaf])).astype(
+                        np.float32)
+                    if leaf == "var":
+                        arr = np.abs(arr) + 0.9
+                    v[leaf] = jnp.asarray(arr)
+            elif isinstance(v, dict):
+                walk(v, is_stats)
+
+    variables = jax.tree.map(lambda x: x, variables)  # deep-ish copy
+    import flax
+    variables = flax.core.unfreeze(variables)
+    walk(variables["params"], False)
+    walk(variables["batch_stats"], True)
+    return variables
+
+
+def _rel_err(a: np.ndarray, b: np.ndarray) -> float:
+    return float(np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-8))
+
+
+def test_fid_inception_matches_torch_mirror():
+    from tpu_diffusion.eval.inception import InceptionV3Features
+
+    net = InceptionV3Features()
+    x299 = np.random.default_rng(1).normal(
+        0, 0.5, (1, 299, 299, 3)).astype(np.float32).clip(-1, 1)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+    variables = _randomize_bn(variables, seed=3)
+
+    feats_jax = np.asarray(net.apply(variables, jnp.asarray(x299)))
+
+    tmodel = TInceptionV3Features().eval()
+    _copy_inception_weights(variables, tmodel)
+    with torch.no_grad():
+        feats_torch = tmodel(
+            torch.tensor(x299.transpose(0, 3, 1, 2))).numpy()
+
+    assert feats_jax.shape == feats_torch.shape == (1, 2048)
+    err = _rel_err(feats_jax, feats_torch)
+    assert err < 1e-4, f"pool3 feature mismatch: rel err {err:.2e}"
+
+
+def test_fid_inception_stem_and_5b_match():
+    """Block-level probe: catches which stage diverges if the full-graph
+    test ever fails (stem + first InceptionA, cheaper than the full net)."""
+    from tpu_diffusion.eval.inception import BasicConv, InceptionA
+
+    x = np.random.default_rng(2).normal(0, 1, (2, 35, 35, 192)).astype(
+        np.float32)
+    block = InceptionA(32)
+    variables = block.init(jax.random.PRNGKey(1), jnp.asarray(x))
+    variables = _randomize_bn(variables, seed=5)
+    out_jax = np.asarray(block.apply(variables, jnp.asarray(x)))
+
+    tblock = TInceptionA(192, 32).eval()
+    _copy_inception_weights(variables, tblock)
+    with torch.no_grad():
+        out_torch = tblock(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    out_torch = out_torch.transpose(0, 2, 3, 1)
+
+    err = _rel_err(out_jax, out_torch)
+    assert err < 1e-5, f"InceptionA mismatch: rel err {err:.2e}"
+
+
+# ---------------------------------------------------------------------------
+# Torch mirror of the VGG16 LPIPS pyramid
+# ---------------------------------------------------------------------------
+
+
+class TVGGPyramid(tnn.Module):
+    def __init__(self, widths=(64, 128, 256, 512, 512),
+                 convs_per_stage=(2, 2, 3, 3, 3)):
+        super().__init__()
+        self.widths = widths
+        self.convs_per_stage = convs_per_stage
+        convs = []
+        cin = 3
+        for w, n in zip(widths, convs_per_stage):
+            for _ in range(n):
+                convs.append(tnn.Conv2d(cin, w, 3, padding=1))
+                cin = w
+        self.convs = tnn.ModuleList(convs)
+
+    def forward(self, x):
+        feats = []
+        i = 0
+        for stage, (w, n) in enumerate(zip(self.widths,
+                                           self.convs_per_stage)):
+            for _ in range(n):
+                x = F.relu(self.convs[i](x))
+                i += 1
+            feats.append(x)
+            if stage != len(self.widths) - 1:
+                x = F.max_pool2d(x, 2, stride=2)
+        return feats
+
+
+def test_vgg_pyramid_matches_torch_mirror():
+    from tpu_diffusion.eval.lpips import VGGFeaturePyramid
+
+    net = VGGFeaturePyramid()
+    x = np.random.default_rng(4).normal(0, 0.5, (2, 64, 64, 3)).astype(
+        np.float32)
+    params = net.init(jax.random.PRNGKey(2), jnp.asarray(x))
+    feats_jax = [np.asarray(f) for f in net.apply(params, jnp.asarray(x))]
+
+    tmodel = TVGGPyramid().eval()
+    conv_params = params["params"]
+    for i in range(len(tmodel.convs)):
+        p = conv_params[f"Conv_{i}"]
+        tmodel.convs[i].weight.data = torch.tensor(
+            np.asarray(p["kernel"]).transpose(3, 2, 0, 1))
+        tmodel.convs[i].bias.data = torch.tensor(np.asarray(p["bias"]))
+    with torch.no_grad():
+        feats_torch = [f.numpy().transpose(0, 2, 3, 1)
+                       for f in tmodel(torch.tensor(x.transpose(0, 3, 1, 2)))]
+
+    assert len(feats_jax) == len(feats_torch) == 5
+    for stage, (a, b) in enumerate(zip(feats_jax, feats_torch)):
+        err = _rel_err(a, b)
+        assert err < 1e-5, f"VGG stage {stage} mismatch: rel err {err:.2e}"
+
+
+def test_lpips_distance_matches_torch_formula():
+    """End-to-end: PerceptualDistance == an independent torch computation of
+    sum_l mean_hw ||unit(f) - unit(f')||^2 over the same pyramid weights."""
+    from tpu_diffusion.eval.lpips import PerceptualDistance, VGGFeaturePyramid
+
+    net = VGGFeaturePyramid()
+    rng = np.random.default_rng(6)
+    x = rng.normal(0, 0.5, (2, 32, 32, 3)).astype(np.float32)
+    y = rng.normal(0, 0.5, (2, 32, 32, 3)).astype(np.float32)
+    params = net.init(jax.random.PRNGKey(9), jnp.zeros((1, 32, 32, 3)))
+    dist = PerceptualDistance(feature_fn=lambda im: net.apply(params, im))
+    d_jax = np.asarray(dist(jnp.asarray(x), jnp.asarray(y)))
+
+    tmodel = TVGGPyramid().eval()
+    conv_params = params["params"]
+    for i in range(len(tmodel.convs)):
+        p = conv_params[f"Conv_{i}"]
+        tmodel.convs[i].weight.data = torch.tensor(
+            np.asarray(p["kernel"]).transpose(3, 2, 0, 1))
+        tmodel.convs[i].bias.data = torch.tensor(np.asarray(p["bias"]))
+    with torch.no_grad():
+        fx = tmodel(torch.tensor(x.transpose(0, 3, 1, 2)))
+        fy = tmodel(torch.tensor(y.transpose(0, 3, 1, 2)))
+        total = torch.zeros(2)
+        for a, b in zip(fx, fy):
+            ua = a / torch.sqrt((a**2).sum(1, keepdim=True) + 1e-10)
+            ub = b / torch.sqrt((b**2).sum(1, keepdim=True) + 1e-10)
+            total = total + ((ua - ub) ** 2).sum(1).mean(dim=(1, 2))
+    np.testing.assert_allclose(d_jax, total.numpy(), rtol=1e-4)

@@ -77,14 +77,31 @@ def main(argv=None):
     def velocity(t, x):
         return model.apply(params, t, x)
 
+    dopri5_kwargs = {}
+    if args.integration_method == "dopri5":
+        from tpu_diffusion.sampling.ode import (calibrate_dopri5_steps,
+                                                dopri5_platform_kwargs)
+        dopri5_kwargs = dopri5_platform_kwargs()
+        if dopri5_kwargs.get("fixed_trip_count"):
+            # TPU pays all 6*max_steps NFE of the masked scan — size the
+            # budget from one CPU probe of the real controller instead of
+            # the conservative 128-trip default.
+            cpu = jax.devices("cpu")[0]
+            cpu_params = jax.device_put(params, cpu)
+            probe = jax.device_put(jax.random.normal(
+                jax.random.PRNGKey(args.seed + 1), (2, h, w, c)), cpu)
+            dopri5_kwargs["max_steps"] = calibrate_dopri5_steps(
+                lambda t, x: model.apply(cpu_params, t, x), probe,
+                rtol=args.tol, atol=args.tol)
+            print(f"[compute_fid] dopri5 trip budget calibrated to "
+                  f"{dopri5_kwargs['max_steps']} (CPU probe)")
+
     @jax.jit
     def gen_batch(key):
         noise = jax.random.normal(key, (args.batch_size_fid, h, w, c))
         if args.integration_method == "dopri5":
-            from tpu_diffusion.sampling.ode import dopri5_platform_kwargs
             x1, nfe = odeint(velocity, noise, method="dopri5",
-                             rtol=args.tol, atol=args.tol,
-                             **dopri5_platform_kwargs())
+                             rtol=args.tol, atol=args.tol, **dopri5_kwargs)
         else:
             x1, nfe = odeint(velocity, noise,
                              method=args.integration_method,
@@ -103,6 +120,14 @@ def main(argv=None):
         key, k = jax.random.split(key)
         imgs, nfe = gen_batch(k)
         total_nfe += int(nfe)
+        if args.integration_method == "dopri5" and dopri5_kwargs.get(
+                "max_steps"):
+            from tpu_diffusion.sampling.ode import dopri5_truncated
+            if dopri5_truncated(nfe, dopri5_kwargs["max_steps"]):
+                print(f"[compute_fid] WARNING: dopri5 exhausted its "
+                      f"{dopri5_kwargs['max_steps']}-trip budget (nfe="
+                      f"{int(nfe)}) — trajectory may be unconverged; "
+                      f"raise the budget/margin")
         fid.update(imgs, real=False)
         if i % 5 == 0:
             print(f"[compute_fid] generated {min((i+1)*args.batch_size_fid, args.num_gen)}"

@@ -81,6 +81,9 @@ def build(config, mesh=None):
         attention_resolutions=net_c.attention_resolutions,
         dropout=net_c.dropout, use_scale_shift_norm=net_c.use_scale_shift_norm,
         attention_impl=net_c.attention_impl,
+        # network.sequence_parallel: token-axis ring attention over the
+        # mesh "model" axis (SURVEY §5.7)
+        sp_mesh=(mesh if net_c.get("sequence_parallel", False) else None),
         dtype=jnp.bfloat16 if net_c.dtype == "bfloat16" else jnp.float32)
     ddpm = DDPM.create(config.diffusion.num_steps)
     return dict(model=model, ddpm=ddpm, likelihood=likelihood,
@@ -329,7 +332,10 @@ def main(argv: Optional[list] = None):
             PeriodicCallback(callback_fn=periodic_eval, every_steps=every),
         ]
         trainer = Trainer(train_step, state, batches, mesh=mesh,
-                          callbacks=callbacks)
+                          callbacks=callbacks,
+                          # mesh.model_axis > 1: shard params/opt/EMA over
+                          # the model axis (parallel/tp.py leaf_spec rules)
+                          tensor_parallel=config.mesh.model_axis > 1)
         state = trainer.fit(num_steps)
         save_ckpt(int(state.step), state)
 

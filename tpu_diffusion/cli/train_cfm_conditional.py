@@ -50,7 +50,7 @@ _IMAGE_SIZES = {"mnist": 28, "flowers": 64, "celeba": 64,
 
 
 def build(task: str, dataset: str, attention_impl: str = "auto",
-          num_channels: int = 0):
+          num_channels: int = 0, sp_mesh=None):
     image_size = _IMAGE_SIZES.get(dataset, 64)
     channels = 1 if dataset == "mnist" else 3
     num_channels = num_channels or (32 if dataset == "mnist" else 128)
@@ -65,7 +65,8 @@ def build(task: str, dataset: str, attention_impl: str = "auto",
         mult = None
     cls = InPaintModelWrapper if task == "inpaint" else SuperResModelWrapper
     model = cls(dim=dim, num_channels=num_channels, channel_mult=mult,
-                attention_resolutions=attn, attention_impl=attention_impl)
+                attention_resolutions=attn, attention_impl=attention_impl,
+                sp_mesh=sp_mesh)
     return model, dim
 
 
@@ -179,6 +180,12 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data_root", default="data")
     p.add_argument("--attention_impl", default="auto")
+    p.add_argument("--model_axis", type=int, default=1,
+                   help="mesh model-axis size; >1 shards params over it "
+                        "(tensor parallelism, parallel/tp.py)")
+    p.add_argument("--sequence_parallel", action="store_true",
+                   help="shard the attention token axis over the model "
+                        "axis (exact ring attention, parallel/sp.py)")
     p.add_argument("--num_channels", type=int, default=0,
                    help="0 -> dataset default (32 mnist / 128 else)")
     p.add_argument("--eval_ode_steps", type=int, default=100,
@@ -192,12 +199,13 @@ def main(argv=None):
     writer = LocalWriter(savedir)
     writer.log_hparams(vars(args))
 
-    mesh = make_mesh()
+    mesh = make_mesh(model=args.model_axis)
     train_ds = get_dataset(args.dataset)(args.data_root, train=True)
     test_ds = get_dataset(args.dataset)(args.data_root, train=False)
 
     model, dim = build(args.task, args.dataset, args.attention_impl,
-                       args.num_channels)
+                       args.num_channels,
+                       sp_mesh=mesh if args.sequence_parallel else None)
     matcher = get_matcher(args.model, sigma=0.0,
                           **({"method": "sinkhorn"}
                              if args.model == "otcfm" else {}))
@@ -256,7 +264,8 @@ def main(argv=None):
                                           every_steps=every))
     batches = infinite_batches(train_ds, args.batch_size, seed=args.seed)
     trainer = Trainer(train_step, state, batches, mesh=mesh,
-                      callbacks=callbacks)
+                      callbacks=callbacks,
+                      tensor_parallel=args.model_axis > 1)
     state = trainer.fit(args.num_steps)
 
     final = run_eval(int(state.step), state)

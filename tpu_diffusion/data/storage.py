@@ -126,44 +126,58 @@ class KeyedDataset:
 
 
 class LMDBDataset(KeyedDataset):
-    """LMDB-backed dataset (lmdb_dataset.py:38-625). Requires the `lmdb`
-    module (absent in this image — constructing raises a clear error;
-    the write/read protocol is covered by unit tests via monkeypatched
-    environments where lmdb exists)."""
+    """LMDB-backed dataset (lmdb_dataset.py:38-625).
+
+    Uses the `lmdb` C module when installed; otherwise falls back to the
+    pure-Python `tpu_diffusion.data.minilmdb` parser of the standard LMDB
+    on-disk format (read-only snapshot semantics — enough for the
+    reference's keyed-blob dataset usage). `write` mirrors the choice."""
 
     def __init__(self, path: str, serializer: str = "pkl",
                  transform: Transform = None, readonly: bool = True,
                  map_size: int = 2**34):
         super().__init__(transform)
+        self._ser = get_serializer(serializer)
         try:
             import lmdb
-        except ImportError as e:
-            raise ImportError(
-                "LMDBDataset requires the 'lmdb' module, which is not "
-                "installed in this environment; use FileDataset / "
-                "ZipDataset / TarDataset instead") from e
-        self._ser = get_serializer(serializer)
-        self._env = lmdb.open(path, readonly=readonly, lock=not readonly,
-                              map_size=map_size)
-        with self._env.begin() as txn:
-            self._keys = [k.decode() for k, _ in txn.cursor()]
+        except ImportError:
+            lmdb = None
+        if lmdb is not None:
+            self._env = lmdb.open(path, readonly=readonly,
+                                  lock=not readonly, map_size=map_size)
+            with self._env.begin() as txn:
+                self._keys = [k.decode() for k, _ in txn.cursor()]
+        else:
+            from tpu_diffusion.data.minilmdb import MiniLMDB
+            self._env = None
+            self._mini = MiniLMDB(path)
+            self._keys = [k.decode() for k in self._mini.keys()]
 
     def keys(self):
         return self._keys
 
     def get(self, key: str):
-        with self._env.begin() as txn:
-            return self._ser.loads(txn.get(key.encode()))
+        if self._env is not None:
+            with self._env.begin() as txn:
+                return self._ser.loads(txn.get(key.encode()))
+        return self._ser.loads(self._mini.get(key.encode()))
 
     @classmethod
     def write(cls, path: str, items: Dict[str, Any],
               serializer: str = "pkl", map_size: int = 2**34):
-        import lmdb
         ser = get_serializer(serializer)
+        blobs = {k.encode(): ser.dumps(v) for k, v in items.items()}
+        try:
+            import lmdb
+        except ImportError:
+            from tpu_diffusion.data.minilmdb import write_minilmdb
+            os.makedirs(path, exist_ok=True)
+            write_minilmdb(os.path.join(path, "data.mdb"), blobs)
+            return
         env = lmdb.open(path, map_size=map_size)
         with env.begin(write=True) as txn:
-            for k, v in items.items():
-                txn.put(k.encode(), ser.dumps(v))
+            for k, v in blobs.items():
+                txn.put(k, v)
         env.close()
 
 

@@ -41,8 +41,17 @@ class BasicConv(nn.Module):
 
 
 def _pool(x, size=3, stride=1, pad="SAME", kind="avg"):
-    fn = nn.avg_pool if kind == "avg" else nn.max_pool
-    return fn(x, (size, size), strides=(stride, stride), padding=pad)
+    if kind == "avg":
+        # The FID network (pt_inception-2015-12-05 / pytorch-fid's
+        # FIDInceptionA/C/E) averages branch pools with
+        # count_include_pad=False — border windows divide by the number of
+        # REAL elements, not the full window size. flax defaults to
+        # count_include_pad=True, which silently skews every border pixel
+        # of every branch_pool (caught by tests/test_torch_crossval.py).
+        return nn.avg_pool(x, (size, size), strides=(stride, stride),
+                           padding=pad, count_include_pad=False)
+    return nn.max_pool(x, (size, size), strides=(stride, stride),
+                       padding=pad)
 
 
 class InceptionA(nn.Module):

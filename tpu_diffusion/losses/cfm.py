@@ -202,7 +202,7 @@ def numpy_ot_permutation(x0: np.ndarray, x1: np.ndarray) -> np.ndarray:
     return _lsa_permutation(cost)
 
 
-def host_ot_pairs(batches, seed: int = 0):
+def host_ot_pairs(batches, seed: int = 0, prefetch: int = 2):
     """Wrap a data-batch iterator with host-side exact-OT noise pairing.
 
     Yields (x0, x1[perm]) tuples where x0 ~ N(0, I) and perm is the exact
@@ -213,13 +213,47 @@ def host_ot_pairs(batches, seed: int = 0):
     (`jax.pure_callback` is unsupported on some TPU runtimes). Feed the
     pairs to a loss built with `make_cfm_loss_fn(..., paired=True)` over an
     I-CFM matcher — after pairing, OT-CFM *is* I-CFM on the paired batch.
+
+    `prefetch` > 0 computes that many paired batches ahead on a background
+    thread, overlapping the O(b^3) assignment solve (cost matmul + LSA)
+    with the device step so OT-CFM step time tracks I-CFM step time
+    (measured in PERF.md); `prefetch=0` pairs synchronously in the caller's
+    thread.
     """
-    rng = np.random.default_rng(seed)
-    for x1 in batches:
-        x1 = np.asarray(x1)
-        x0 = rng.standard_normal(x1.shape).astype(np.float32)
-        perm = numpy_ot_permutation(x0, x1)
-        yield x0, x1[perm]
+
+    def paired():
+        rng = np.random.default_rng(seed)
+        for x1 in batches:
+            x1 = np.asarray(x1)
+            x0 = rng.standard_normal(x1.shape).astype(np.float32)
+            perm = numpy_ot_permutation(x0, x1)
+            yield x0, x1[perm]
+
+    if prefetch <= 0:
+        yield from paired()
+        return
+
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+
+    def worker():
+        try:
+            for item in paired():
+                q.put(("data", item))
+            q.put(("end", None))
+        except BaseException as e:  # surface worker failures in the consumer
+            q.put(("err", e))
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        tag, item = q.get()
+        if tag == "err":
+            raise item
+        if tag == "end":
+            return
+        yield item
 
 
 def sinkhorn_assignment(x0: Array, x1: Array, reg: float = 0.05,

@@ -55,6 +55,10 @@ class GroupNorm32(nn.Module):
 
     num_groups: int = 32
     dtype: jnp.dtype | None = None
+    # torch.nn.GroupNorm's default (the reference runs on it); flax's own
+    # default is 1e-6, which would make norm_impl="xla" and "fused"
+    # (FusedNormAct, eps=1e-5) numerically non-interchangeable.
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -63,10 +67,12 @@ class GroupNorm32(nn.Module):
             groups -= 1
         if self.dtype is None:
             orig = x.dtype
-            y = nn.GroupNorm(num_groups=groups, dtype=jnp.float32,
+            y = nn.GroupNorm(num_groups=groups, epsilon=self.eps,
+                             dtype=jnp.float32,
                              param_dtype=jnp.float32)(x.astype(jnp.float32))
             return y.astype(orig)
-        return nn.GroupNorm(num_groups=groups, dtype=self.dtype,
+        return nn.GroupNorm(num_groups=groups, epsilon=self.eps,
+                            dtype=self.dtype,
                             param_dtype=jnp.float32)(x)
 
 

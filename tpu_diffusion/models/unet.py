@@ -120,6 +120,7 @@ class AttentionBlock(nn.Module):
             impl = "pallas" if (on_tpu and h * w >= 1024) else "xla"
         needs_bhtd = impl == "pallas" or self.sp_mesh is not None
 
+        out = None
         if needs_bhtd:
             q, k, v = jnp.split(qkv.reshape(b, h * w, 3, heads, head_dim)
                                 .transpose(2, 0, 3, 1, 4), 3, axis=0)
@@ -130,11 +131,16 @@ class AttentionBlock(nn.Module):
                 sp_out = maybe_sequence_parallel(q, k, v, self.sp_mesh)
             if sp_out is not None:
                 out = sp_out
-            else:
+            elif impl == "pallas":
                 from tpu_diffusion.kernels.attention import flash_attention
                 out = flash_attention(q, k, v)
-            out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
-        else:
+            # else: sp declined (token count not divisible by the model
+            # axis) and impl resolved to XLA — fall through to the dense
+            # path below rather than forcing the flash kernel (which
+            # crashes off-TPU and is ~3.6x slower at T=256).
+            if out is not None:
+                out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
+        if out is None:
             # layout-preserving XLA path: heads stay in the trailing axes
             # ("bqhd,bkhd->bhqk" / "bhqk,bkhd->bqhd"), so no explicit
             # [b,T,heads,d] <-> [b,heads,T,d] copies bracket the einsums —
@@ -400,7 +406,7 @@ def _cfm_backbone(dim: Tuple[int, int, int], num_channels: int,
                   attention_resolutions: str = "16", dropout: float = 0.0,
                   num_classes: Optional[int] = None,
                   attention_impl: str = "xla",
-                  dtype=jnp.bfloat16) -> UNetModel:
+                  dtype=jnp.bfloat16, sp_mesh=None) -> UNetModel:
     h, w, c = dim
     return create_model(
         image_size=h, num_channels=num_channels,
@@ -409,7 +415,7 @@ def _cfm_backbone(dim: Tuple[int, int, int], num_channels: int,
         num_heads=num_heads, attention_resolutions=attention_resolutions,
         dropout=dropout, class_cond=num_classes is not None,
         num_classes=num_classes, use_scale_shift_norm=True,
-        attention_impl=attention_impl, dtype=dtype,
+        attention_impl=attention_impl, dtype=dtype, sp_mesh=sp_mesh,
         time_scale=1000.0,  # torchcfm embeds t*1000
     )
 
@@ -430,13 +436,15 @@ class UNetModelWrapper(nn.Module):
     num_classes: Optional[int] = None
     attention_impl: str = "xla"
     dtype: jnp.dtype = jnp.bfloat16
+    sp_mesh: object = None  # Mesh -> token-axis ring attention (SURVEY 5.7)
 
     def setup(self):
         self.net = _cfm_backbone(self.dim, self.num_channels, self.dim[2],
                                  self.num_res_blocks, self.channel_mult,
                                  self.num_heads, self.attention_resolutions,
                                  self.dropout, self.num_classes,
-                                 self.attention_impl, self.dtype)
+                                 self.attention_impl, self.dtype,
+                                 self.sp_mesh)
 
     def __call__(self, t: Array, x: Array, y: Optional[Array] = None, *,
                  train: bool = False) -> Array:
@@ -456,13 +464,15 @@ class InPaintModelWrapper(nn.Module):
     dropout: float = 0.0
     attention_impl: str = "xla"
     dtype: jnp.dtype = jnp.bfloat16
+    sp_mesh: object = None  # Mesh -> token-axis ring attention (SURVEY 5.7)
 
     def setup(self):
         self.net = _cfm_backbone(self.dim, self.num_channels,
                                  2 * self.dim[2], self.num_res_blocks,
                                  self.channel_mult, self.num_heads,
                                  self.attention_resolutions, self.dropout,
-                                 None, self.attention_impl, self.dtype)
+                                 None, self.attention_impl, self.dtype,
+                                 self.sp_mesh)
 
     def __call__(self, t: Array, x: Array, con: Array, *,
                  train: bool = False) -> Array:
@@ -483,13 +493,15 @@ class SuperResModelWrapper(nn.Module):
     dropout: float = 0.0
     attention_impl: str = "xla"
     dtype: jnp.dtype = jnp.bfloat16
+    sp_mesh: object = None  # Mesh -> token-axis ring attention (SURVEY 5.7)
 
     def setup(self):
         self.net = _cfm_backbone(self.dim, self.num_channels,
                                  2 * self.dim[2], self.num_res_blocks,
                                  self.channel_mult, self.num_heads,
                                  self.attention_resolutions, self.dropout,
-                                 None, self.attention_impl, self.dtype)
+                                 None, self.attention_impl, self.dtype,
+                                 self.sp_mesh)
 
     def __call__(self, t: Array, x: Array, low_res: Array, *,
                  train: bool = False) -> Array:

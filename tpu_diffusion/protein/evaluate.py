@@ -228,16 +228,23 @@ def sse_proportions(coords: np.ndarray) -> Dict[str, float]:
             "coil_proportion": float(np.sum(sse == "c") / n)}
 
 
-def make_novelty_stage(train: Dict[str, np.ndarray]) -> EvaluationStage:
-    from tpu_diffusion.protein.novelty import find_closest_structure
+@dataclass
+class _NoveltyFn:
+    """Module-level callable (not a closure) so novelty stages pickle into
+    process workers."""
 
-    def fn(coords: np.ndarray) -> Dict[str, float]:
-        out = find_closest_structure(coords, train)
+    train: Dict[str, np.ndarray]
+
+    def __call__(self, coords: np.ndarray) -> Dict[str, float]:
+        from tpu_diffusion.protein.novelty import find_closest_structure
+        out = find_closest_structure(coords, self.train)
         return {"novelty_rmsd": out["rmsd"],
                 "novelty_tm_score": out["tm_score"],
                 "novelty_gdt_score": out["gdt_score"]}
 
-    return EvaluationStage("novelty", fn)
+
+def make_novelty_stage(train: Dict[str, np.ndarray]) -> EvaluationStage:
+    return EvaluationStage("novelty", _NoveltyFn(train))
 
 
 DEFAULT_STAGES = [
@@ -269,26 +276,52 @@ class EvaluationPipeline:
         return row
 
     def eval_many(self, structures: Dict[str, np.ndarray],
-                  n_jobs: Optional[int] = None) -> List[Dict]:
-        """Evaluate many structures, optionally in parallel (reference
-        :104-130 uses joblib multiprocessing; here a thread pool — the heavy
-        stages are numpy/scipy/C++ which release the GIL, and threads keep
-        closure-holding stages like novelty picklable-free)."""
+                  n_jobs: Optional[int] = None,
+                  backend: str = "auto") -> List[Dict]:
+        """Evaluate many structures, optionally in parallel.
+
+        `backend="process"` matches the reference's joblib *process* pool
+        (evaluation_pipeline.py:104-130): the numpy-heavy angle/SSE stages
+        hold the GIL for long stretches, so threads cannot scale them on
+        multi-core eval hosts (measured in scripts/eval_many_bench.py).
+        All default stages and the novelty stage are picklable; a stage
+        that fails to pickle falls back to the thread pool with a note.
+        `backend="thread"` forces the thread pool; `"auto"` picks
+        processes on multi-core hosts and threads on a single core (where
+        spawned workers are pure interpreter-startup overhead).
+        """
         items = list(structures.items())
         if n_jobs in (None, 1) or len(items) <= 1:
             return [self.eval_single(c, sid) for sid, c in items]
-        from concurrent.futures import ThreadPoolExecutor
         workers = os.cpu_count() if n_jobs < 0 else n_jobs
+        if backend == "auto":
+            backend = "process" if (os.cpu_count() or 1) > 1 else "thread"
+        if backend == "process":
+            import multiprocessing
+            from concurrent.futures import ProcessPoolExecutor
+            try:
+                # spawn, not fork: the parent may hold live JAX/XLA threads
+                # (forking those can deadlock); workers only need numpy.
+                with ProcessPoolExecutor(
+                        max_workers=workers,
+                        mp_context=multiprocessing.get_context(
+                            "spawn")) as pool:
+                    return list(pool.map(
+                        _eval_one,
+                        [(self.stages, sid, c) for sid, c in items],
+                        chunksize=max(1, len(items) // (4 * workers))))
+            except Exception as e:  # unpicklable custom stage, etc.
+                import logging
+                logging.getLogger(__name__).warning(
+                    "process pool failed (%s); falling back to threads", e)
+        from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=workers) as pool:
             return list(pool.map(
                 lambda sc: self.eval_single(sc[1], sc[0]), items))
 
     def eval_dir(self, sample_dir: str, out_csv: Optional[str] = None,
                  n_jobs: Optional[int] = None) -> List[Dict]:
-        structures = {}
-        for f in sorted(os.listdir(sample_dir)):
-            if f.endswith(".npy") and f.startswith("sample"):
-                structures[f[:-4]] = np.load(os.path.join(sample_dir, f))
+        structures = load_structures(sample_dir)
         rows = self.eval_many(structures, n_jobs=n_jobs)
         if out_csv is None:
             out_csv = os.path.join(sample_dir, "sample_stats.csv")
@@ -309,6 +342,22 @@ class EvaluationPipeline:
         rows = self.eval_many(centered, n_jobs=n_jobs)
         _write_csv(rows, cache_csv)
         return rows
+
+
+def _eval_one(args) -> Dict[str, float]:
+    """Process-pool worker: (stages, sample_id, coords) -> stats row."""
+    stages, sample_id, coords = args
+    return EvaluationPipeline(stages).eval_single(coords, sample_id)
+
+
+def load_structures(sample_dir: str) -> Dict[str, np.ndarray]:
+    """sample*.npy files -> {id: [L, 3]} in sorted order (the reference
+    loads sample*.pt the same way, evaluation_pipeline.py:132-151)."""
+    structures = {}
+    for f in sorted(os.listdir(sample_dir)):
+        if f.endswith(".npy") and f.startswith("sample"):
+            structures[f[:-4]] = np.load(os.path.join(sample_dir, f))
+    return structures
 
 
 def _write_csv(rows: List[Dict], path: str):
@@ -399,6 +448,14 @@ def main(argv=None):
     p.add_argument("--max_train", type=int, default=200)
     p.add_argument("--n_jobs", type=int, default=None,
                    help="parallel sample evaluation (-1 = all cores)")
+    p.add_argument("--self_consistency", action="store_true",
+                   help="ProteinMPNN design/scoring + ColabFold refolding "
+                        "(reference :695-726); each tool is used only if "
+                        "available, the rest of the stage still runs")
+    p.add_argument("--n_seq", type=int, default=3,
+                   help="designed sequences scored per sample (:703)")
+    p.add_argument("--colabfold", default="colabfold_batch",
+                   help="refolding executable (:711)")
     args = p.parse_args(argv)
 
     stages = list(DEFAULT_STAGES)
@@ -414,6 +471,15 @@ def main(argv=None):
 
     pipeline = EvaluationPipeline(stages)
     rows = pipeline.eval_dir(args.sample_dir, n_jobs=args.n_jobs)
+    if args.self_consistency:
+        from tpu_diffusion.protein.self_consistency import (
+            self_consistency_eval)
+        sc_rows = self_consistency_eval(
+            load_structures(args.sample_dir), args.sample_dir,
+            n_seq=args.n_seq, colabfold_executable=args.colabfold)
+        for row, sc in zip(rows, sc_rows):
+            row.update(sc)
+        _write_csv(rows, os.path.join(args.sample_dir, "sample_stats.csv"))
     summary = summarize(rows)
     if args.compare_train:
         cache = args.train_root.rstrip("/").rstrip(os.sep) + "_stats.csv"

@@ -186,10 +186,54 @@ def odeint_dopri5(v: VField, x0: Array, t0: float = 0.0, t1: float = 1.0,
 def dopri5_platform_kwargs(max_steps_fixed: int = 128) -> dict:
     """Backend-appropriate dopri5 arguments: fixed-trip-count masked scan on
     TPU (the axon tunnel hangs on dynamic while_loops — PERF.md), early-exit
-    while_loop elsewhere."""
+    while_loop elsewhere.
+
+    128 is a conservative default; on TPU every one of the `6*max_steps`
+    NFE is paid in wall-clock whether or not the controller converged
+    earlier, so callers that know their field should pass a calibrated
+    budget from `calibrate_dopri5_steps` instead.
+    """
     if jax.devices()[0].platform == "tpu":
         return {"fixed_trip_count": True, "max_steps": max_steps_fixed}
     return {}
+
+
+def dopri5_truncated(nfe, max_steps: int) -> bool:
+    """True when a dopri5 run exhausted its `max_steps` budget without
+    reaching t1 (possibly returning an unconverged trajectory).
+
+    Works for both modes: the while_loop stops at `nfe >= 6*max_steps`, and
+    the fixed-trip scan freezes nfe once `done`, so a converged run always
+    reports `nfe < 6*max_steps` (the controller needs at least one more
+    no-op budget entry to flip `done` before the final count).
+    """
+    return bool(np.asarray(nfe) >= 6 * max_steps)
+
+
+def calibrate_dopri5_steps(v_cpu: VField, x0_cpu: Array,
+                           rtol: float = 1e-5, atol: float = 1e-5,
+                           t0: float = 0.0, t1: float = 1.0,
+                           margin: float = 1.5, min_steps: int = 16,
+                           max_steps: int = 2000) -> int:
+    """Measure the adaptive controller's actual trip count on CPU and return
+    a fixed-trip `max_steps` budget with safety margin for the TPU scan.
+
+    The fixed-trip-count scan (the only dopri5 that runs on the axon
+    backend) pays `6*max_steps` NFE of wall-clock regardless of when the
+    integration converges, so an uncalibrated budget (default 128 trips =
+    768 NFE vs ~55 measured on smooth trained fields) wastes an order of
+    magnitude. This runs the early-exit while_loop once on the host CPU
+    backend — `v_cpu` must close over CPU-resident parameters
+    (`jax.device_put(params, jax.devices("cpu")[0])`) — and converts the
+    observed NFE into trips with `margin` headroom.
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        _, nfe = jax.jit(lambda x: odeint_dopri5(
+            v_cpu, x, t0=t0, t1=t1, rtol=rtol, atol=atol,
+            max_steps=max_steps))(x0_cpu)
+    trips = int(np.asarray(nfe)) // 6 + 1
+    return max(min_steps, int(np.ceil(trips * margin)))
 
 
 INTEGRATORS = {

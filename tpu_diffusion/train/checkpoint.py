@@ -87,3 +87,79 @@ def load_matching_params(params, loaded, verbose: bool = False):
                   for k, _ in paths]
     out = jax.tree_util.tree_unflatten(treedef, new_leaves)
     return out, copied, skipped
+
+
+def remap_norm_impl(params, to: str):
+    """One-shot checkpoint migration between the two norm implementations.
+
+    A UNet trained with `norm_impl="xla"` stores norm parameters under
+    `GroupNorm32_<k>/GroupNorm_0/{scale,bias}` while `norm_impl="fused"`
+    (the Pallas GroupNorm+FiLM+SiLU kernel) stores the same two vectors one
+    level shallower under `FusedNormAct_<k>/{scale,bias}`. The weights are
+    interchangeable (both impls use eps=1e-5, models/nn.py); only the paths
+    differ. This rewrites the tree so a checkpoint trained with one impl
+    can be applied with the other (`to` = "fused" or "xla") — no manual
+    leaf surgery.
+    """
+    if to not in ("fused", "xla"):
+        raise ValueError(f"to must be 'fused' or 'xla', got {to!r}")
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for key, sub in node.items():
+            if to == "fused" and key.startswith("GroupNorm32_") \
+                    and isinstance(sub, dict) and set(sub) == {"GroupNorm_0"}:
+                idx = key.split("_")[-1]
+                out[f"FusedNormAct_{idx}"] = dict(sub["GroupNorm_0"])
+            elif to == "xla" and key.startswith("FusedNormAct_") \
+                    and isinstance(sub, dict) and set(sub) <= {"scale",
+                                                               "bias"}:
+                idx = key.split("_")[-1]
+                out[f"GroupNorm32_{idx}"] = {"GroupNorm_0": dict(sub)}
+            else:
+                out[key] = walk(sub)
+        return out
+
+    try:
+        import flax
+        params = flax.core.unfreeze(params)
+    except ImportError:
+        pass
+    return walk(params)
+
+
+def remap_by_order(target, loaded, strict: bool = True):
+    """Positional checkpoint migration between two param trees of the SAME
+    architecture whose module names differ (e.g. a tree saved before
+    modules had explicit names: flax auto-names like `Conv_0`/`ResBlock_3`
+    vs today's `conv_in`/`enc_0_0`).
+
+    Both trees are flattened in canonical (sorted-key) order and matched
+    leaf-by-leaf on shape. This is only sound when the two namings sort
+    into the same leaf order — verify with `strict=True` (default), which
+    raises on any shape mismatch instead of silently mispairing. For
+    partial/shape-matched loads of same-named trees use
+    `load_matching_params` instead.
+    """
+    import jax
+
+    t_paths, treedef = jax.tree_util.tree_flatten_with_path(target)
+    l_leaves = jax.tree_util.tree_leaves(loaded)
+    if len(t_paths) != len(l_leaves):
+        raise ValueError(
+            f"leaf count mismatch: target {len(t_paths)} vs loaded "
+            f"{len(l_leaves)} — not the same architecture")
+    new = []
+    for (path, tgt), leaf in zip(t_paths, l_leaves):
+        if tuple(tgt.shape) != tuple(leaf.shape):
+            msg = (f"shape mismatch at {jax.tree_util.keystr(path)}: "
+                   f"target {tgt.shape} vs loaded {leaf.shape}")
+            if strict:
+                raise ValueError(msg + " — positional remap unsound here; "
+                                 "fix names or use load_matching_params")
+            new.append(tgt)
+            continue
+        new.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, new)

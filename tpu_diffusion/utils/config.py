@@ -86,6 +86,9 @@ def _network_config(dataset: str) -> ml_collections.ConfigDict:
     # "auto" picks XLA dense below 1024 tokens and the Pallas flash kernel
     # at/above, per the measured v5e crossover (PERF.md)
     c.attention_impl = "auto"
+    # shard the attention token axis over the mesh "model" axis (exact ring
+    # attention, SURVEY §5.7); pairs with mesh.model_axis > 1
+    c.sequence_parallel = False
     c.dtype = "bfloat16"
     return c
 
@@ -145,7 +148,10 @@ def get_config(spec: str = "mnist,inpainting,amortized"
     # faster eval, opt-in pending a trained-model FID acceptance
     config.testing.encoder_reuse = 1
 
-    # parallelism (new: mesh layout)
+    # parallelism (new: mesh layout, SURVEY §5.7/§5.8). model_axis > 1
+    # shards UNet channel dims over the mesh "model" axis (tensor
+    # parallelism, parallel/tp.py) and — with network.sequence_parallel —
+    # the attention token axis (ring attention, parallel/sp.py)
     config.mesh = ml_collections.ConfigDict()
     config.mesh.model_axis = 1
 
