@@ -121,15 +121,38 @@ def main():
     def eps_fn(xi, i):
         return model.apply(params, xi, i.astype(jnp.float32) / 1000.0)
 
-    sampler = jax.jit(make_ddim_sampler(eps_fn, ddpm, num_steps=DDIM_STEPS))
+    # Encoder-reuse K=2 ("Faster Diffusion", PAPERS.md) is the bench
+    # default since r3: accepted on trained-model FID evidence — K=2
+    # shifts FID by +0.05 where the seed-to-seed noise floor is 0.71
+    # (PERF.md "Encoder-reuse decision"). K=1 (bitwise-plain DDIM) via
+    # TPU_DIFFUSION_BENCH_REUSE=1.
+    reuse = int(os.environ.get("TPU_DIFFUSION_BENCH_REUSE", "2"))
+    if reuse > 1:
+        from tpu_diffusion.sampling.ancestral import make_cached_ddim_sampler
+
+        def encode_fn(xi, i):
+            return model.apply(params, xi, i.astype(jnp.float32) / 1000.0,
+                               mode="encode")
+
+        def decode_fn(xi, i, cache):
+            return model.apply(params, xi, i.astype(jnp.float32) / 1000.0,
+                               mode="decode", cache=cache)
+
+        sampler = jax.jit(make_cached_ddim_sampler(
+            encode_fn, decode_fn, ddpm, num_steps=DDIM_STEPS,
+            encoder_reuse=reuse))
+    else:
+        sampler = jax.jit(make_ddim_sampler(eps_fn, ddpm,
+                                            num_steps=DDIM_STEPS))
 
     key = jax.random.PRNGKey(1)
     xT = jax.random.normal(key, (BATCH, 32, 32, 3))
 
     compiled = sampler.lower(key, xT).compile()
-    # flops / bytes of ONE DDIM step (XLA cost analysis counts a while-loop
-    # body once, so cost a 1-step sampler explicitly), scaled by the step
-    # count for the program roofline.
+    # WORKLOAD flops/bytes: one full-UNet DDIM step (XLA cost analysis
+    # counts a scan body once, so cost a 1-step sampler explicitly),
+    # scaled by the step count. This defines the north-star workload the
+    # floor is computed for, independent of the sampler implementation.
     one_step = jax.jit(make_ddim_sampler(eps_fn, ddpm, num_steps=1))
     try:
         cost = one_step.lower(key, xT).compile().cost_analysis()
@@ -139,6 +162,22 @@ def main():
         step_flops = step_bytes = 0.0
     total_flops = step_flops * DDIM_STEPS
     total_bytes = step_bytes * DDIM_STEPS
+    # PROGRAM flops of the sampler actually measured (the K=2 cached
+    # sampler runs the encoder only on refresh steps, so its real flop
+    # count is lower than the workload's) — this feeds `mfu`. Cost one
+    # K-step group explicitly and scale by the group count.
+    program_flops = total_flops
+    if reuse > 1:
+        try:
+            one_group = jax.jit(make_cached_ddim_sampler(
+                encode_fn, decode_fn, ddpm, num_steps=reuse,
+                encoder_reuse=reuse))
+            gc = one_group.lower(key, xT).compile().cost_analysis()
+            gflops = float(gc.get("flops", 0.0))
+            if gflops:
+                program_flops = gflops * (DDIM_STEPS // reuse)
+        except Exception:
+            pass
 
     # implementation-independent floor: conv/dense traffic from the
     # architecture itself (+ the DDIM x-update: read + write x per step)
@@ -160,7 +199,7 @@ def main():
     dt = (time.perf_counter() - t0) / n_iters
 
     samples_per_sec = BATCH / dt
-    mfu = total_flops / dt / V5E_BF16_PEAK if total_flops else 0.0
+    mfu = program_flops / dt / V5E_BF16_PEAK if program_flops else 0.0
     t_floor = max(total_flops / V5E_BF16_PEAK,
                   min_bytes_total / V5E_HBM_BW)
     # UNCAPPED analytic-floor ratio (r2 advisor): a number < 1 with real
@@ -179,9 +218,11 @@ def main():
         "batch": BATCH,
         "ddim_steps": DDIM_STEPS,
         "mfu": round(mfu, 4),
+        "encoder_reuse": reuse,
         "roofline_ratio_hlo": round(ratio_hlo, 4),
-        "program_gflops": round(total_flops / 1e9, 2),
-        "program_hbm_gb": round(total_bytes / 1e9, 3),
+        "workload_gflops": round(total_flops / 1e9, 2),
+        "program_gflops": round(program_flops / 1e9, 2),
+        "workload_hlo_hbm_gb": round(total_bytes / 1e9, 3),
         "analytic_min_hbm_gb": round(min_bytes_total / 1e9, 3),
         "floor_ms": round(t_floor * 1e3, 3),
         "hlo_roofline_ms": round(t_hlo * 1e3, 3),

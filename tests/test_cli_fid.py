@@ -126,16 +126,19 @@ def test_inception_random_init_golden():
                                 dtype=np.float32).reshape(2, 32, 32, 3))
     f = np.asarray(fn(x))
     assert f.shape == (2, 2048)
-    np.testing.assert_allclose(float(f.mean()), 0.00017422577, rtol=1e-3)
-    np.testing.assert_allclose(float(f.std()), 0.0002574852, rtol=1e-3)
+    # goldens refreshed after the count_include_pad=False fix to the
+    # FID-Inception branch avg-pools (r3; the new graph is cross-validated
+    # against a torch mirror in tests/test_torch_crossval.py)
+    np.testing.assert_allclose(float(f.mean()), 0.00018313863, rtol=1e-3)
+    np.testing.assert_allclose(float(f.std()), 0.00027120690, rtol=1e-3)
     np.testing.assert_allclose(
         f[0, :5],
-        [0.0011710645630955696, 9.302078979089856e-05, 0.0,
-         9.616887109586969e-05, 0.0002459411043673754], rtol=1e-3, atol=1e-9)
+        [0.001207295, 0.00013620597, 0.0,
+         0.00011454832, 0.00028815368], rtol=1e-3, atol=1e-9)
     np.testing.assert_allclose(
         f[1, 1000:1005],
-        [0.0002557871921453625, 0.0, 6.95123958394106e-07,
-         0.000261511915596202, 7.308253407245502e-05], rtol=1e-3, atol=1e-9)
+        [0.000253026, 0.0, 5.2401725e-07,
+         0.000250117, 8.630859e-05], rtol=1e-3, atol=1e-9)
 
 
 def test_inception_weight_roundtrip(tmp_path):

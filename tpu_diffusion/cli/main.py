@@ -234,6 +234,15 @@ def run_eval(config, parts, params, logdir: str, writer=None,
             fid.update(cond_sample(params, ks, xT, condition), real=False)
         results["fid"] = fid.compute()
         results["fid_features"] = config.testing.fid_features
+        if config.testing.fid_features != "inception":
+            # make the caveat machine-readable in the artifact itself, not
+            # just in eval/fid.py's docstring (r2 verdict "what's weak" 6)
+            results["fid_comparable_to_published"] = False
+            results["fid_note"] = (
+                f"{config.testing.fid_features} features: self-consistent "
+                "across runs of this framework, NOT comparable to "
+                "published Inception-FID values (no pretrained weights in "
+                "this environment; see tpu_diffusion/eval/fid.py)")
     with open(os.path.join(logdir, "results.json"), "w") as f:
         json.dump(results, f, indent=2)
     if writer is not None and len(samples):
