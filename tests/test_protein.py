@@ -176,6 +176,29 @@ def test_denoiser_output_shape_and_com_free(tiny_denoiser):
                                atol=1e-3)
 
 
+def test_denoiser_remat_matches_plain(tiny_denoiser):
+    """remat=True must be a pure memory/compute trade: same param tree,
+    same outputs, same gradients as the plain model."""
+    model, params, batch, t = tiny_denoiser
+    rmodel = GVPDenoiser(n_h_node_feats=(16, 4), n_h_edge_feats=(16, 4),
+                         n_conv_layers=2, n_msg_layers=2, n_lookup_feats=8,
+                         remat=True)
+    rparams = rmodel.init(KEY, batch, t)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(rparams))
+    np.testing.assert_allclose(np.asarray(model.apply(params, batch, t)),
+                               np.asarray(rmodel.apply(params, batch, t)),
+                               atol=1e-5)
+
+    def loss(p, m):
+        return jnp.sum(m.apply(p, batch, t) ** 2)
+
+    g_plain = jax.grad(loss)(params, model)
+    g_remat = jax.grad(loss)(params, rmodel)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-4), g_plain, g_remat)
+
+
 def test_denoiser_se3_equivariance(tiny_denoiser):
     """eps(R x) == R eps(x): rotations commute; translations are killed by
     COM-centering of inputs (positions enter via relative vectors + the

@@ -41,7 +41,8 @@ def build_model(args) -> GVPDenoiser:
         n_h_edge_feats=(args.node_scalars, args.node_vectors),
         n_conv_layers=args.conv_layers,
         n_msg_layers=3, n_ff_layers=1,
-        num_steps=args.diffusion_steps)
+        num_steps=args.diffusion_steps,
+        remat=getattr(args, "remat", False))
 
 
 def main(argv=None):
@@ -60,6 +61,9 @@ def main(argv=None):
     p.add_argument("--aux_cutoff", type=float, default=0.25)
     p.add_argument("--distogram", default="sequential",
                    choices=["sequential", "dense"])
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize GVP conv layers in backward — "
+                        "required for the reference bs 32 on a 16 GB v5e")
     p.add_argument("--data_root", default="data/scope")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt_every", type=int, default=0,

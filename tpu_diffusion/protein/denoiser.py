@@ -82,6 +82,12 @@ class GVPDenoiser(nn.Module):
     num_steps: int = 250          # for sin time encoding scale
     d_max: float = 6.0
     num_rbf: int = 16
+    # Rematerialize each conv layer in the backward pass: the dense
+    # [B, N, N, ...] message tensors dominate training memory (294 MB per
+    # layer at the reference config's bs 32 / N 112), and without remat
+    # the reference batch size OOMs a 16 GB v5e. Costs one extra forward
+    # per layer; parameters are unchanged (tests/test_protein.py).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, batch: ProteinBatch, t: Array, *,
@@ -111,8 +117,11 @@ class GVPDenoiser(nn.Module):
                   vector_gate=True, name="W_e")((edge_s, edge_v))
         h_e = GVPLayerNorm(name="W_e_norm")(h_e)
 
+        # static_argnums counts self as 0 -> 4 is `deterministic`
+        layer_cls = (nn.remat(DenseGVPConvLayer, static_argnums=(4,))
+                     if self.remat else DenseGVPConvLayer)
         for i in range(self.n_conv_layers):
-            h_v = DenseGVPConvLayer(
+            h_v = layer_cls(
                 node_dims=self.n_h_node_feats,
                 edge_dims=self.n_h_edge_feats,
                 n_message=self.n_msg_layers,
@@ -120,8 +129,7 @@ class GVPDenoiser(nn.Module):
                 drop_rate=self.drop_rate,
                 vector_gate=True,
                 scalar_act=nn.relu, vector_act=None,
-                name=f"conv_{i}")(h_v, h_e, pair_mask,
-                                  deterministic=not train)
+                name=f"conv_{i}")(h_v, h_e, pair_mask, not train)
 
         h_v = GVPLayerNorm(name="out_norm")(h_v)
         _, out_v = GVP((self.n_h_node_feats[0], 1), scalar_act=nn.relu,
