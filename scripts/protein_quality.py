@@ -74,6 +74,8 @@ def main(argv=None):
     p.add_argument("--sample_batch", type=int, default=32)
     p.add_argument("--num_train_eval", type=int, default=256,
                    help="training chains used for the reference statistics")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize GVP conv layers (fits bs 32 on v5e)")
     p.add_argument("--data_root", default="data/scope")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="results_protein_quality")
@@ -164,7 +166,7 @@ def main(argv=None):
             k2, blob, lambda b, t: model.apply(params, b, t))
         return out.pos, out.mask
 
-    def eval_of(params):
+    def eval_of(params, csv_name=None):
         params = jax.tree.map(jnp.asarray, params)
         key = jax.random.PRNGKey(args.seed + 11)
         rng_l = np.random.default_rng(args.seed + 11)
@@ -181,12 +183,15 @@ def main(argv=None):
                 structs[f"sample_{len(structs):04d}"] = \
                     pos[i][mask[i]] / COORD_SCALE
         rows = pipeline.eval_many(structs)
+        if csv_name:  # per-sample stats consumable by eval/plotting's CLI
+            from tpu_diffusion.protein.evaluate import _write_csv
+            _write_csv(rows, os.path.join(args.out, csv_name))
         return rows
 
     table = []
     for step in snap_steps:
         t1 = time.monotonic()
-        rows = eval_of(snaps[step])
+        rows = eval_of(snaps[step], csv_name=f"sample_stats_{step}.csv")
         s = summarize(rows)
         w1 = compare_to_training(rows, train_rows)
         entry = {"step": step, "loss": losses.get(step)}
@@ -202,7 +207,7 @@ def main(argv=None):
                                     for k in W1_KEYS)
               + f" ({time.monotonic()-t1:.1f}s)", flush=True)
 
-    ema_rows = eval_of(ema_params)
+    ema_rows = eval_of(ema_params, csv_name="sample_stats_ema.csv")
     ema_w1 = compare_to_training(ema_rows, train_rows)
     ema_entry = {f"w1_{k}": round(ema_w1.get(f"{k}_w1_vs_train",
                                              float("nan")), 4)
