@@ -45,6 +45,39 @@ def test_norm_impl_remap_roundtrip_and_apply():
                                atol=1e-5)
 
 
+def test_norm_impl_remap_full_unet():
+    """The full UNet includes the explicitly-named head norm (`out_norm`)
+    that auto-name prefix matching missed — migration must produce the
+    exact destination tree structure and identical outputs."""
+    from tpu_diffusion.models.unet import create_model
+
+    def build(norm_impl):
+        m = create_model(image_size=8, num_channels=8, num_res_blocks=1,
+                         in_channels=1, out_channels=1,
+                         attention_resolutions="4", num_heads=1,
+                         channel_mult=(1, 2),
+                         norm_impl=norm_impl, attention_impl="xla")
+        p = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 1)),
+                   jnp.zeros((1,)))
+        return m, p
+
+    m_xla, p_xla = build("xla")
+    m_fused, p_fused = build("fused")
+
+    migrated = remap_norm_impl(p_xla, to="fused")
+    assert jax.tree_util.tree_structure(migrated) \
+        == jax.tree_util.tree_structure(p_fused)
+    back = remap_norm_impl(migrated, to="xla")
+    assert jax.tree_util.tree_structure(back) \
+        == jax.tree_util.tree_structure(p_xla)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 1))
+    t = jnp.array([0.3])
+    np.testing.assert_allclose(np.asarray(m_xla.apply(p_xla, x, t)),
+                               np.asarray(m_fused.apply(migrated, x, t)),
+                               atol=1e-5)
+
+
 def test_remap_by_order_same_shapes():
     p1 = {"params": {"Conv_0": {"kernel": np.ones((3, 3, 4, 8)),
                                 "bias": np.zeros(8)},

@@ -95,6 +95,25 @@ def test_checked_in_fixture():
     np.testing.assert_allclose(item["coords"].sum(), item["checksum"])
 
 
+def test_page_size_field_and_detection(tmp_path):
+    """mm_psize is the FREE db's pad field (mdb.c); the writer must pack
+    it and the reader must auto-detect it — a real-lmdb file from a
+    16K-page host must parse without being told the page size."""
+    import struct
+    items = {b"k%03d" % i: b"v" * (i * 7 % 300) for i in range(40)}
+    path = str(tmp_path / "data.mdb")
+    for psize in (4096, 16384):
+        write_minilmdb(path, items, page_size=psize)
+        with open(path, "rb") as f:
+            head = f.read(256)
+        # FREE db pad field: PAGEHDRSZ(16) + magic/version/address/mapsize
+        # (4+4+8+8 = 24) -> offset 40
+        assert struct.unpack_from("<I", head, 40)[0] == psize
+        db = MiniLMDB(path)  # no page_size hint
+        assert db.page_size == psize
+        assert dict(db.items()) == items
+
+
 def test_cross_validate_with_real_lmdb(tmp_path):
     """Runs only where the `lmdb` C module exists: both write/read
     directions must interoperate with the real library byte-for-byte."""

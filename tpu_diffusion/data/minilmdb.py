@@ -66,32 +66,60 @@ class MiniLMDB:
     `lmdb.open(subdir=True)` creates) or the data file itself.
     """
 
-    def __init__(self, path: str, page_size: int = 4096):
+    def __init__(self, path: str, page_size: Optional[int] = None):
         if os.path.isdir(path):
             path = os.path.join(path, "data.mdb")
         with open(path, "rb") as f:
             self._data = f.read()
-        self.page_size = page_size
+        # The on-disk page size lives in meta page 0 (always at byte 0):
+        # mm_psize is the FREE db's pad field (mdb.c `#define mm_psize
+        # mm_dbs[FREE_DBI].md_pad`). Hardcoding 4096 would misparse files
+        # written by the real library on 16K/64K-page hosts.
+        self.page_size = page_size or self._detect_page_size()
         meta = self._pick_meta()
         (self.main_depth, self.main_entries,
          self.main_root) = meta
 
     # -- meta ------------------------------------------------------------
 
-    def _parse_meta(self, pgno: int):
-        page = self._page(pgno)
-        _, _, flags, _, _ = struct.unpack_from("<QHHHH", page, 0)
+    def _parse_meta_at(self, offset: int):
+        data = self._data
+        if offset + PAGEHDRSZ + struct.calcsize(_META_FMT) > len(data):
+            raise MiniLMDBError("meta offset past end of file")
+        _, _, flags, _, _ = struct.unpack_from("<QHHHH", data, offset)
         if not flags & P_META:
-            raise MiniLMDBError(f"page {pgno} is not a meta page")
+            raise MiniLMDBError(f"offset {offset} is not a meta page")
         magic, version, _, _, dbs, _, txnid = struct.unpack_from(
-            _META_FMT, page, PAGEHDRSZ)
+            _META_FMT, data, offset + PAGEHDRSZ)
         if magic != MDB_MAGIC:
             raise MiniLMDBError(f"bad magic {magic:#x}")
         if version != MDB_DATA_VERSION:
             raise MiniLMDBError(f"unsupported data version {version}")
+        psize = struct.unpack_from(_DB_FMT, dbs, 0)[0]  # dbs[0] = FREE
         main = struct.unpack_from(_DB_FMT, dbs, _DB_SIZE)  # dbs[1] = MAIN
         _, _, depth, _, _, _, entries, root = main
-        return txnid, (depth, entries, root)
+        return txnid, psize, (depth, entries, root)
+
+    def _detect_page_size(self) -> int:
+        try:
+            _, psize, _ = self._parse_meta_at(0)
+            if psize >= 512 and psize & (psize - 1) == 0:
+                return psize
+        except (MiniLMDBError, struct.error):
+            pass
+        # meta 0 unreadable/legacy (psize 0): find meta 1 by scanning the
+        # plausible page sizes for a valid meta page at that offset
+        for cand in (4096, 8192, 16384, 32768, 65536, 512, 1024, 2048):
+            try:
+                self._parse_meta_at(cand)
+                return cand
+            except (MiniLMDBError, struct.error):
+                continue
+        return 4096
+
+    def _parse_meta(self, pgno: int):
+        txnid, _, main = self._parse_meta_at(pgno * self.page_size)
+        return txnid, main
 
     def _pick_meta(self):
         cands = []
@@ -312,8 +340,12 @@ def write_minilmdb(path: str, items: Dict[bytes, bytes],
         pages[root] = _pack_page(root, P_BRANCH, branch_nodes, page_size)
         next_pgno += 1
 
-    # 4) meta pages (both slots, same txn)
-    free_db = struct.pack(_DB_FMT, 0, 0, 0, 0, 0, 0, 0, _INVALID_PGNO)
+    # 4) meta pages (both slots, same txn). In the LMDB format the FREE
+    # db's first (pad) field doubles as mm_psize (lmdb's mdb.c:
+    # `#define mm_psize mm_dbs[FREE_DBI].md_pad`) — the real library reads
+    # the page size from here, so it must be packed, not zero.
+    free_db = struct.pack(_DB_FMT, page_size, 0, 0, 0, 0, 0, 0,
+                          _INVALID_PGNO)
     main_db = struct.pack(_DB_FMT, 0, 0, depth, 1 if depth > 1 else 0,
                           len(leaves), n_overflow, len(items_sorted), root)
     meta_body = struct.pack("<IIQQ", MDB_MAGIC, MDB_DATA_VERSION, 0,

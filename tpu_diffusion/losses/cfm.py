@@ -237,23 +237,38 @@ def host_ot_pairs(batches, seed: int = 0, prefetch: int = 2):
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
 
     def worker():
         try:
             for item in paired():
-                q.put(("data", item))
+                # bounded put with a stop check: when the consumer abandons
+                # the generator (trainer done, early break) the worker must
+                # exit instead of blocking on a full queue forever, pinning
+                # the source iterator and computing O(b^3) solves for nobody
+                while not stop.is_set():
+                    try:
+                        q.put(("data", item), timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
             q.put(("end", None))
         except BaseException as e:  # surface worker failures in the consumer
             q.put(("err", e))
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        tag, item = q.get()
-        if tag == "err":
-            raise item
-        if tag == "end":
-            return
-        yield item
+    try:
+        while True:
+            tag, item = q.get()
+            if tag == "err":
+                raise item
+            if tag == "end":
+                return
+            yield item
+    finally:
+        stop.set()  # GeneratorExit / normal return: shut the worker down
 
 
 def sinkhorn_assignment(x0: Array, x1: Array, reg: float = 0.05,

@@ -21,6 +21,24 @@ from flax import linen as nn
 Array = jax.Array
 
 
+def effective_platform() -> str:
+    """The platform a trace will actually execute on.
+
+    `jax.devices()[0].platform` ignores an enclosing
+    `jax.default_device(cpu)` context (used e.g. by the dopri5 CPU
+    calibration probe, sampling/ode.py:calibrate_dopri5_steps), so
+    impl="auto" dispatch keyed on it would pick a TPU Pallas kernel for a
+    CPU trace and fail to lower. Honor the thread-local default device
+    first.
+    """
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        platform = getattr(dd, "platform", None)
+        if platform is not None:
+            return platform
+    return jax.devices()[0].platform
+
+
 def timestep_embedding(t: Array, dim: int, max_period: float = 10_000.0
                        ) -> Array:
     """Sinusoidal timestep embeddings (reference nn.py:97-115).
@@ -112,7 +130,7 @@ class FusedNormAct(nn.Module):
         # Pallas path needs a TPU (tests force it on CPU via interpret mode
         # + TPU_DIFFUSION_FORCE_FUSED=1).
         import os
-        on_tpu = (jax.devices()[0].platform == "tpu"
+        on_tpu = (effective_platform() == "tpu"
                   or os.environ.get("TPU_DIFFUSION_FORCE_FUSED") == "1")
         if self.fused and on_tpu and x.ndim == 4 and slab_bytes < 12_000_000:
             from tpu_diffusion.kernels.groupnorm import fused_groupnorm_silu

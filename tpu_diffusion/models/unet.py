@@ -116,7 +116,8 @@ class AttentionBlock(nn.Module):
         # T=256; Pallas 2.2x faster at T=1024, 3.1x at T=4096).
         impl = self.impl
         if impl == "auto":
-            on_tpu = jax.devices()[0].platform == "tpu"
+            from tpu_diffusion.models.nn import effective_platform
+            on_tpu = effective_platform() == "tpu"
             impl = "pallas" if (on_tpu and h * w >= 1024) else "xla"
         needs_bhtd = impl == "pallas" or self.sp_mesh is not None
 

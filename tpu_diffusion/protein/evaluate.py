@@ -297,8 +297,24 @@ class EvaluationPipeline:
         if backend == "auto":
             backend = "process" if (os.cpu_count() or 1) > 1 else "thread"
         if backend == "process":
+            # Unpicklable custom stages are detected UP FRONT (not via a
+            # blanket except around the map, which would misattribute a
+            # genuine worker failure, discard completed work, and silently
+            # redo the whole evaluation on threads). Per-structure stage
+            # errors never propagate here — eval_single records them in
+            # the row — so only pool-level failures remain.
+            import pickle
+            try:
+                pickle.dumps(self.stages)
+            except Exception as e:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "stages not picklable (%s); using threads", e)
+                backend = "thread"
+        if backend == "process":
             import multiprocessing
             from concurrent.futures import ProcessPoolExecutor
+            from concurrent.futures.process import BrokenProcessPool
             try:
                 # spawn, not fork: the parent may hold live JAX/XLA threads
                 # (forking those can deadlock); workers only need numpy.
@@ -310,10 +326,10 @@ class EvaluationPipeline:
                         _eval_one,
                         [(self.stages, sid, c) for sid, c in items],
                         chunksize=max(1, len(items) // (4 * workers))))
-            except Exception as e:  # unpicklable custom stage, etc.
+            except BrokenProcessPool as e:  # worker hard-crash (OOM, ...)
                 import logging
                 logging.getLogger(__name__).warning(
-                    "process pool failed (%s); falling back to threads", e)
+                    "process pool broke (%s); falling back to threads", e)
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=workers) as pool:
             return list(pool.map(

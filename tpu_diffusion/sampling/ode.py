@@ -199,13 +199,16 @@ def dopri5_platform_kwargs(max_steps_fixed: int = 128) -> dict:
 
 
 def dopri5_truncated(nfe, max_steps: int) -> bool:
-    """True when a dopri5 run exhausted its `max_steps` budget without
-    reaching t1 (possibly returning an unconverged trajectory).
+    """True when a dopri5 run consumed its whole `max_steps` budget — the
+    trajectory MAY be unconverged and callers should warn / re-run with a
+    larger budget.
 
-    Works for both modes: the while_loop stops at `nfe >= 6*max_steps`, and
-    the fixed-trip scan freezes nfe once `done`, so a converged run always
-    reports `nfe < 6*max_steps` (the controller needs at least one more
-    no-op budget entry to flip `done` before the final count).
+    Works for both modes: the while_loop stops at `nfe >= 6*max_steps`,
+    and the fixed-trip scan freezes nfe once `done`. The signal is
+    conservative: a run that converges exactly on its final budgeted trip
+    also reports `nfe == 6*max_steps` and is flagged even though its
+    result is fine — nfe alone cannot distinguish that boundary case, and
+    a false "check your budget" beats a silent unconverged trajectory.
     """
     return bool(np.asarray(nfe) >= 6 * max_steps)
 

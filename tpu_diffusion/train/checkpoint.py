@@ -93,31 +93,53 @@ def remap_norm_impl(params, to: str):
     """One-shot checkpoint migration between the two norm implementations.
 
     A UNet trained with `norm_impl="xla"` stores norm parameters under
-    `GroupNorm32_<k>/GroupNorm_0/{scale,bias}` while `norm_impl="fused"`
-    (the Pallas GroupNorm+FiLM+SiLU kernel) stores the same two vectors one
-    level shallower under `FusedNormAct_<k>/{scale,bias}`. The weights are
+    `<name>/GroupNorm_0/{scale,bias}` (where `<name>` is the auto-name
+    `GroupNorm32_<k>` or an explicit one like the UNet head's `out_norm`)
+    while `norm_impl="fused"` (the Pallas GroupNorm+FiLM+SiLU kernel)
+    stores the same two vectors one level shallower under
+    `<name>/{scale,bias}` (auto-name `FusedNormAct_<k>`). The weights are
     interchangeable (both impls use eps=1e-5, models/nn.py); only the paths
     differ. This rewrites the tree so a checkpoint trained with one impl
     can be applied with the other (`to` = "fused" or "xla") — no manual
     leaf surgery.
+
+    Matching rules: toward "fused", any `{"GroupNorm_0": {scale, bias}}`
+    wrapper is flattened (that wrapper only ever comes from GroupNorm32).
+    Toward "xla", a flat `{scale, bias}` node is nested only when its key
+    identifies a fused norm (`FusedNormAct*` auto-names or the UNet's
+    explicitly-named `out_norm`) — a bare structural match would corrupt
+    flax's own `GroupNorm_0`/LayerNorm leaves.
     """
     if to not in ("fused", "xla"):
         raise ValueError(f"to must be 'fused' or 'xla', got {to!r}")
+
+    def is_scale_bias(d) -> bool:
+        return (isinstance(d, dict) and bool(d)
+                and set(d) <= {"scale", "bias"}
+                and not any(isinstance(v, dict) for v in d.values()))
+
+    def fused_name(key: str) -> str:
+        return (f"FusedNormAct_{key.split('_')[-1]}"
+                if key.startswith("GroupNorm32_") else key)
+
+    def xla_name(key: str) -> str:
+        return (f"GroupNorm32_{key.split('_')[-1]}"
+                if key.startswith("FusedNormAct_") else key)
 
     def walk(node):
         if not isinstance(node, dict):
             return node
         out = {}
         for key, sub in node.items():
-            if to == "fused" and key.startswith("GroupNorm32_") \
-                    and isinstance(sub, dict) and set(sub) == {"GroupNorm_0"}:
-                idx = key.split("_")[-1]
-                out[f"FusedNormAct_{idx}"] = dict(sub["GroupNorm_0"])
-            elif to == "xla" and key.startswith("FusedNormAct_") \
-                    and isinstance(sub, dict) and set(sub) <= {"scale",
-                                                               "bias"}:
-                idx = key.split("_")[-1]
-                out[f"GroupNorm32_{idx}"] = {"GroupNorm_0": dict(sub)}
+            if to == "fused" and isinstance(sub, dict) \
+                    and set(sub) == {"GroupNorm_0"} \
+                    and is_scale_bias(sub["GroupNorm_0"]):
+                out[fused_name(key)] = dict(sub["GroupNorm_0"])
+            elif to == "xla" \
+                    and (key.startswith("FusedNormAct_")
+                         or key == "out_norm") \
+                    and is_scale_bias(sub):
+                out[xla_name(key)] = {"GroupNorm_0": dict(sub)}
             else:
                 out[key] = walk(sub)
         return out
