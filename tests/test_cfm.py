@@ -159,6 +159,36 @@ def test_host_ot_pairs_matches_callback_permutation():
     assert cost_paired <= cost_id + 1e-5
 
 
+def test_host_ot_pairs_worker_stops_when_abandoned():
+    # The prefetch worker must terminate when the consumer abandons the
+    # generator — otherwise it blocks on the full queue forever, pinning
+    # the source iterator and computing assignments for nobody.
+    import threading
+    import time
+
+    from tpu_diffusion.losses.cfm import host_ot_pairs
+
+    consumed = []
+
+    def endless():
+        rng = np.random.default_rng(1)
+        while True:
+            consumed.append(1)
+            yield rng.standard_normal((8, 2, 2, 1)).astype(np.float32)
+
+    before = threading.active_count()
+    gen = host_ot_pairs(endless(), seed=3, prefetch=2)
+    next(gen)
+    gen.close()  # GeneratorExit -> stop flag
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+    n = len(consumed)
+    time.sleep(0.3)
+    assert len(consumed) == n  # source iterator no longer being drained
+
+
 def test_paired_cfm_loss_trains_one_step():
     # The otcfm --ot_method exact recipe: host pairs feed a jitted step
     # that contains no callbacks (runs on any backend).

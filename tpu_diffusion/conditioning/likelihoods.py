@@ -32,24 +32,34 @@ class Likelihood:
 
 
 def _patch_mask(key: Array, batch: int, image_size: int, patch_size: int,
-                margin: int = 5) -> Array:
+                margin: int = 5, image_width: int | None = None) -> Array:
     """[B, H, W, 1] boolean mask, True inside a random patch per image.
 
-    Patch origin ~ U[margin, image_size - patch_size - margin), matching the
-    reference's border rule (likelihoods.py:49-53).
+    Patch origin ~ U[margin, size - patch_size - margin) per axis, matching
+    the reference's border rule (likelihoods.py:49-53). `image_size` is the
+    height; `image_width` defaults to it (square images) but non-square
+    NHWC inputs get their own width bounds and mask axis.
     """
-    lo, hi = margin, image_size - patch_size - margin
-    if patch_size + 2 * margin > image_size:
-        raise ValueError(
-            f"patch_size={patch_size} with margin={margin} does not fit in a "
-            f"{image_size}x{image_size} image (need patch_size <= "
-            f"{image_size - 2 * margin})")
-    hw = jax.random.randint(key, (2, batch), lo, max(hi, lo + 1))
+    w_size = image_size if image_width is None else image_width
+
+    def axis_origin(k, size):
+        lo, hi = margin, size - patch_size - margin
+        if patch_size + 2 * margin > size:
+            raise ValueError(
+                f"patch_size={patch_size} with margin={margin} does not fit "
+                f"in a {size}-pixel axis (need patch_size <= "
+                f"{size - 2 * margin})")
+        return jax.random.randint(k, (batch,), lo, max(hi, lo + 1))
+
+    kh, kw = jax.random.split(key)
+    h0 = axis_origin(kh, image_size)
+    w0 = axis_origin(kw, w_size)
     rows = jnp.arange(image_size)
-    in_h = (rows[None, :] >= hw[0][:, None]) & (
-        rows[None, :] < hw[0][:, None] + patch_size)   # [B, H]
-    in_w = (rows[None, :] >= hw[1][:, None]) & (
-        rows[None, :] < hw[1][:, None] + patch_size)   # [B, W]
+    cols = jnp.arange(w_size)
+    in_h = (rows[None, :] >= h0[:, None]) & (
+        rows[None, :] < h0[:, None] + patch_size)      # [B, H]
+    in_w = (cols[None, :] >= w0[:, None]) & (
+        cols[None, :] < w0[:, None] + patch_size)      # [B, W]
     return (in_h[:, :, None] & in_w[:, None, :])[..., None]
 
 
@@ -82,7 +92,8 @@ class InPainting(Painting):
     """Condition = image with a random patch blanked to pad_value."""
 
     def sample(self, key: Array, x: Array) -> Array:
-        mask = _patch_mask(key, x.shape[0], x.shape[1], self.patch_size)
+        mask = _patch_mask(key, x.shape[0], x.shape[1], self.patch_size,
+                           image_width=x.shape[2])
         return jnp.where(mask, self.pad_value, x)
 
 
@@ -91,7 +102,8 @@ class OutPainting(Painting):
     """Condition = only a random patch kept; everything else pad_value."""
 
     def sample(self, key: Array, x: Array) -> Array:
-        mask = _patch_mask(key, x.shape[0], x.shape[1], self.patch_size)
+        mask = _patch_mask(key, x.shape[0], x.shape[1], self.patch_size,
+                           image_width=x.shape[2])
         return jnp.where(mask, x, self.pad_value)
 
 

@@ -136,22 +136,34 @@ def cosine_alphas_cumprod(num_steps: int, s: float = 0.008) -> np.ndarray:
     return f[1:] / f[0]
 
 
-def hoogeboom_alphas_cumprod(num_steps: int, s: float = 1e-4) -> np.ndarray:
-    """Hoogeboom polynomial schedule: alpha_bar(t) = (1 - t^2)^2 (1-2s) + s.
+def hoogeboom_alphas_cumprod(num_steps: int, s: float = 1e-4,
+                             exponent: float = 3.0,
+                             clip_value: float = 0.001) -> np.ndarray:
+    """Hoogeboom polynomial schedule, discrete form.
 
-    Reference: src/diffusion/sde_diffusion.py:196-205 (continuous form) and
-    schedule_discrete.py Hoogeboom class.
+    Matches schedule_discrete.py's HoogeboomSchedule exactly: a t-grid of
+    `linspace(0, 1, N)` (so abar[0] = 1 - s, not the shifted arange(1..N)/N
+    grid), `alpha_bar(t) = (1 - t^exponent)^2 (1-2s) + s` with the
+    reference's default exponent 3, then the e3-diffusion
+    `clip_noise_schedule`: prepend 1, clip the per-step ratios to
+    [clip_value, 1], and re-accumulate. (The protein stack's CONTINUOUS
+    Hoogeboom form — exponent 2, no ratio clipping, reference
+    sde_diffusion.py:196-205 — lives in protein/sde.py:HoogeboomGraphSDE.)
     """
-    t = np.arange(1, num_steps + 1, dtype=np.float64) / num_steps
-    return (1.0 - t**2) ** 2 * (1 - 2 * s) + s
+    t = np.linspace(0.0, 1.0, num_steps, dtype=np.float64)
+    abar = (1.0 - t**exponent) ** 2 * (1 - 2 * s) + s
+    abar_ext = np.concatenate([np.ones(1), abar])
+    alphas = np.clip(abar_ext[1:] / abar_ext[:-1], clip_value, 1.0)
+    return np.cumprod(alphas)
 
 
 def sigmoid_betas(num_steps: int, beta_start: float = 1e-4,
-                  beta_end: float = 0.02, tau: float = 3.0) -> np.ndarray:
+                  beta_end: float = 0.02, tau: float = 6.0) -> np.ndarray:
+    """Sigmoid beta schedule: `sigmoid(linspace(-6, 6, N)) * (be - bs) + bs`
+    — schedule_discrete.py's SigmoidBetaSchedule verbatim (raw sigmoid
+    values, no endpoint renormalization: betas[0] = bs + 0.0025 (be - bs))."""
     t = np.linspace(-tau, tau, num_steps, dtype=np.float64)
-    sig = 1.0 / (1.0 + np.exp(-t))
-    sig = (sig - sig[0]) / (sig[-1] - sig[0])
-    return beta_start + (beta_end - beta_start) * sig
+    return beta_start + (beta_end - beta_start) / (1.0 + np.exp(-t))
 
 
 def quadratic_betas(num_steps: int, beta_start: float = 1e-4,

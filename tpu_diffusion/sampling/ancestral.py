@@ -147,12 +147,19 @@ def make_conditional_sampler(eps_fn: EpsFn, ddpm: DDPM,
 def _make_amortized_sampler(eps_fn, ddpm, cond: Amortized, likelihood):
     def sample(key: Array, xT: Array, condition: Array) -> Array:
         x0_model = make_x0_model(amortized_eps_fn(eps_fn, condition), ddpm)
+        # The reference's corrector runs UNconditioned: its corrector_step
+        # calls x0_model(xi, t) with cond defaulting to None, which the
+        # amortized x0 model fills with likelihood.none_like pad channels
+        # (sampling.py:34-44, :113-121) — only the posterior step sees the
+        # condition.
+        x0_uncond = make_x0_model(
+            amortized_eps_fn(eps_fn, likelihood.none_like(condition)), ddpm)
 
         def step(k, xi, i):
             k1, k2 = jax.random.split(k)
             ib = _batched(i, xi.shape[0])
             xi = _posterior_step(k1, ddpm, x0_model(xi, ib), xi, ib)
-            return _corrector_steps(k2, x0_model, ddpm, xi, ib,
+            return _corrector_steps(k2, x0_uncond, ddpm, xi, ib,
                                     cond.n_corrector, cond.delta)
 
         step.num_steps = ddpm.num_steps
@@ -173,7 +180,13 @@ def make_cached_amortized_sampler(encode_fn: Callable, decode_fn: Callable,
     corrector steps in between decode from it with the current timestep
     embedding (corrector iterates share their step's cache too).
     `encoder_reuse=1` with `n_corrector=0` reproduces
-    `_make_amortized_sampler` bitwise (pinned by tests)."""
+    `_make_amortized_sampler` bitwise (pinned by tests).
+
+    Note: with `n_corrector > 0` the cached corrector decodes from the
+    CONDITIONED cache, whereas the reference (and the plain sampler here)
+    runs the corrector unconditioned (sampling.py:113-121 with cond=None);
+    an unconditioned corrector would need a second encoder pass per
+    refresh, defeating the cache."""
     if ddpm.num_steps % encoder_reuse:
         raise ValueError(f"num_steps={ddpm.num_steps} must divide by "
                          f"encoder_reuse={encoder_reuse}")
@@ -220,7 +233,18 @@ def _make_guidance_sampler(eps_fn, ddpm, cond: ReconstructionGuidance,
         def constraint_sum(xi, ib):
             return jnp.sum(likelihood.loss(x0_model(xi, ib), condition))
 
-        def step(k, xi, i):
+        def plain_step(k, xi, i):
+            # i >= start_step: guidance inactive — no grad, one model eval
+            # (the reference computes x_grad only when i < Ns*start_fraction;
+            # a single scan with `active`-masking would still pay the
+            # forward+backward on every inactive step)
+            k1, k2 = jax.random.split(k)
+            ib = _batched(i, xi.shape[0])
+            xi_next = _posterior_step(k1, ddpm, x0_model(xi, ib), xi, ib)
+            return _corrector_steps(k2, x0_model, ddpm, xi_next, ib,
+                                    cond.n_corrector, cond.delta)
+
+        def guided_step(k, xi, i):
             k1, k2 = jax.random.split(k)
             ib = _batched(i, xi.shape[0])
 
@@ -230,8 +254,7 @@ def _make_guidance_sampler(eps_fn, ddpm, cond: ReconstructionGuidance,
             x_grad = jax.grad(constraint_sum)(xi, ib)
             alpha_i = ddpm.alphas[i]
             scale = cond.gamma * alpha_i * (1.0 - alpha_i)
-            active = (i < start_step).astype(xi.dtype)
-            x_update = -scale * active * x_grad
+            x_update = -scale * x_grad
 
             if cond.update_rule == "before":
                 xi = xi + x_update
@@ -241,8 +264,25 @@ def _make_guidance_sampler(eps_fn, ddpm, cond: ReconstructionGuidance,
             return _corrector_steps(k2, x0_model, ddpm, xi_next, ib,
                                     cond.n_corrector, cond.delta)
 
-        step.num_steps = ddpm.num_steps
-        return _reverse_scan(key, xT, step)
+        # Two scans over the statically-known split i = Ns-1..start_step
+        # (plain) then start_step-1..0 (guided); the key carry crosses the
+        # boundary, so the PRNG stream — and therefore the output — is
+        # bitwise-identical to the former single masked scan.
+        def body(step_fn):
+            def b(carry, i):
+                xi, k = carry
+                k, sk = jax.random.split(k)
+                return (step_fn(sk, xi, i), k), None
+            return b
+
+        carry = (xT, key)
+        carry, _ = jax.lax.scan(
+            body(plain_step), carry,
+            jnp.arange(ddpm.num_steps - 1, start_step - 1, -1))
+        carry, _ = jax.lax.scan(
+            body(guided_step), carry,
+            jnp.arange(start_step - 1, -1, -1))
+        return process_x0(carry[0])
 
     return sample
 
@@ -287,6 +327,11 @@ def _ddim_per_step(ddpm: DDPM, num_steps: int, eta: float):
     rows of [i, c_x0, c_dir, sqrt(abar), sigma, sr, srm1]."""
     import numpy as np
 
+    if not 0 < num_steps <= ddpm.num_steps:
+        raise ValueError(
+            f"num_steps={num_steps} must be in [1, ddpm.num_steps="
+            f"{ddpm.num_steps}] (a zero stride would silently run every "
+            f"DDIM step at index 0)")
     stride = ddpm.num_steps // num_steps
     steps = np.arange(num_steps) * stride  # ascending; scan runs descending
     abar_all = np.asarray(ddpm.alphas_cumprod, np.float64)
