@@ -315,6 +315,55 @@ def test_guidance_sampler_moves_toward_condition(ddpm):
     assert err_guided < err_plain
 
 
+def test_guidance_two_scan_split_bitwise(ddpm):
+    """The plain/guided scan split (no grad on the inactive prefix) must be
+    bitwise-identical to the single masked scan it replaced — same PRNG
+    stream, x_update exactly zero while i >= start_step."""
+    from tpu_diffusion.sampling.ancestral import (_batched, _corrector_steps,
+                                                  _posterior_step,
+                                                  _reverse_scan,
+                                                  make_x0_model)
+
+    lik = InPainting(patch_size=6, pad_value=-2.0)
+    truth = jnp.clip(_images(jax.random.PRNGKey(8)) * 0 + 0.8, -1, 1)
+    cond_img = lik.sample(jax.random.PRNGKey(9), truth)
+    g = ReconstructionGuidance(gamma=20.0, start_fraction=0.5,
+                               n_corrector=1, delta=0.1)
+    start_step = int(ddpm.num_steps * g.start_fraction)
+
+    def eps_fn(xi, i):
+        return ddpm.predict_noise_from_start(xi, i, 0.9 * xi)
+
+    # the former implementation: one scan, grad masked by `active`
+    def masked_sample(key, xT, condition):
+        x0_model = make_x0_model(eps_fn, ddpm)
+
+        def constraint_sum(xi, ib):
+            return jnp.sum(lik.loss(x0_model(xi, ib), condition))
+
+        def step(k, xi, i):
+            k1, k2 = jax.random.split(k)
+            ib = _batched(i, xi.shape[0])
+            x_grad = jax.grad(constraint_sum)(xi, ib)
+            alpha_i = ddpm.alphas[i]
+            scale = g.gamma * alpha_i * (1.0 - alpha_i)
+            active = (i < start_step).astype(xi.dtype)
+            xi = xi - scale * active * x_grad
+            xi_next = _posterior_step(k1, ddpm, x0_model(xi, ib), xi, ib)
+            return _corrector_steps(k2, x0_model, ddpm, xi_next, ib,
+                                    g.n_corrector, g.delta)
+
+        step.num_steps = ddpm.num_steps
+        return _reverse_scan(key, xT, step)
+
+    split = make_conditional_sampler(eps_fn, ddpm, g, lik)
+    xT = jax.random.normal(jax.random.PRNGKey(10), (B, H, W, C))
+    out_split = jax.jit(split)(jax.random.PRNGKey(11), xT, cond_img)
+    out_masked = jax.jit(masked_sample)(jax.random.PRNGKey(11), xT, cond_img)
+    np.testing.assert_array_equal(np.asarray(out_split),
+                                  np.asarray(out_masked))
+
+
 def test_amortized_sampler_runs(ddpm):
     lik = InPainting(patch_size=4, pad_value=-2.0)
     truth = _images(jax.random.PRNGKey(12))
