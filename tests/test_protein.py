@@ -245,16 +245,20 @@ def test_motif_conditioner_pulls_toward_motif():
     sde = HoogeboomGraphSDE(num_steps=40)
     n = 16
     motif = jax.random.normal(KEY, (4, 3)) * 0.3
+    # the REFERENCE's shipped hyperparameters: gs=1500 (sample.py:88) and
+    # the conditioner active only for step < Ns/2 (sample.py: 125 of 250)
+    # — under the reference-faithful gs*a*(1-a) scale law these defaults
+    # work as shipped (the old abar-based law needed an ad-hoc gs)
     cond = Structconditioner(motif_pos=motif,
                              motif_indices=jnp.arange(4) + 6,
-                             guidance_scale=200.0)
+                             guidance_scale=1500.0)
     blob = sde.sample_blob(jax.random.PRNGKey(2), 2, n)
 
     def model(batch, t):  # identity-ish x0 model: eps prediction zero
         return jnp.zeros_like(batch.pos)
 
     guided = jax.jit(lambda k, b: sde.reverse_diffusion_sampling(
-        k, b, model, conditioner=cond, cond_start_step=40))
+        k, b, model, conditioner=cond, cond_start_step=20))
     plain = jax.jit(lambda k, b: sde.reverse_diffusion_sampling(k, b, model))
     out_g = guided(jax.random.PRNGKey(3), blob)
     out_p = plain(jax.random.PRNGKey(3), blob)

@@ -11,6 +11,7 @@
 //
 // Exposed via a C ABI for ctypes (no pybind11 in this environment).
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -129,7 +130,9 @@ double rmsd_impl(const double* p, const double* q, int64_t n) {
 }
 
 double tm_impl(const double* p, const double* q, int64_t n) {
-    double d0 = 1.24 * std::cbrt((double)n - 15.0) - 1.8;
+    // Zhang & Skolnick d0, clamped at 0.5 (standard TM-score floor):
+    // the raw formula is <= 0 for n <= 18 and would blow up the ratio.
+    double d0 = std::max(1.24 * std::cbrt((double)n - 15.0) - 1.8, 0.5);
     double acc = 0.0;
     for (int64_t i = 0; i < n; ++i) {
         double dd = 0.0;

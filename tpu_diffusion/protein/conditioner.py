@@ -33,26 +33,40 @@ class Structconditioner:
     motif_pos: Array          # [M, 3] reference motif coordinates (scaled)
     motif_indices: Array      # [M] residue indices into the padded chain
     guidance_scale: float = 1500.0
-    loss_type: str = struct.field(pytree_node=False, default="l1")
+    # the reference's defaults: mse_loss ("l2", structconditioner.py:22-30)
+    # then an extra division by the motif length (:160-161)
+    loss_type: str = struct.field(pytree_node=False, default="l2")
     align: bool = struct.field(pytree_node=False, default=True)
 
     def motif_loss(self, pos: Array) -> Array:
-        """Per-graph mean motif loss; pos: [B, N, 3]."""
+        """Per-graph motif loss; pos: [B, N, 3].
+
+        Mirrors _compute_batch_loss (structconditioner.py:140-167): the
+        SAMPLED motif is Kabsch-aligned onto the reference motif, the
+        mean-reduced l1/l2 loss is taken in the motif's frame, and the
+        result is divided again by the motif length.
+        """
         sampled = pos[:, self.motif_indices, :]            # [B, M, 3]
+        m = self.motif_pos.shape[0]
 
         def one(s):
-            aligned = kabsch_align(self.motif_pos, s) if self.align \
-                else self.motif_pos
+            aligned = kabsch_align(s, self.motif_pos) if self.align else s
             if self.loss_type == "l1":
-                return jnp.mean(jnp.abs(s - aligned))
-            return jnp.mean((s - aligned) ** 2)
+                base = jnp.mean(jnp.abs(aligned - self.motif_pos))
+            else:
+                base = jnp.mean((aligned - self.motif_pos) ** 2)
+            return base / m
 
         return jax.vmap(one)(sampled)                      # [B]
 
     def apply(self, batch: ProteinBatch, score_model, step: Array,
               diffuser: HoogeboomGraphSDE) -> Array:
-        """Compute -gs * a * (1-a) * grad_pos loss(x0_hat(pos))."""
-        a = diffuser.alphas_cumprod[step]
+        """Compute -gs * a * (1-a) * grad_pos loss(x0_hat(pos)), with
+        a = the PER-STEP alpha (reference :97 `a = self.alphas[step]`,
+        :118-122 `gs*a` then `*= (1-a)`) — not alpha_bar, whose a(1-a)
+        profile would peak ~25x stronger mid-trajectory."""
+        a = diffuser.alphas[step]
+        abar = diffuser.alphas_cumprod[step]
         t = jnp.full((batch.num_graphs,), step / diffuser.num_steps,
                      batch.pos.dtype)
 
@@ -60,7 +74,7 @@ class Structconditioner:
             cur = batch._replace(pos=pos)
             eps_hat = score_model(cur, t)
             # total denoise (structconditioner.py:68-84)
-            x0 = (pos - jnp.sqrt(1.0 - a) * eps_hat) / jnp.sqrt(a)
+            x0 = (pos - jnp.sqrt(1.0 - abar) * eps_hat) / jnp.sqrt(abar)
             return jnp.sum(self.motif_loss(x0))
 
         grad = jax.grad(total_loss)(batch.pos)

@@ -119,6 +119,10 @@ def protein_batches(ds: ProteinDataset, batch_size: int, seed: int = 0
     rng = np.random.default_rng(seed)
     n = len(ds)
     col = np.arange(ds.max_len)
+    if batch_size > n:
+        raise ValueError(
+            f"batch_size={batch_size} exceeds dataset size {n} — the "
+            f"epoch loop would yield nothing and spin forever")
     while True:
         perm = rng.permutation(n)
         for s in range(0, n - batch_size + 1, batch_size):

@@ -105,7 +105,11 @@ def tm_score(p, q) -> float:
     p, q = _prep(p), _prep(q)
     lib = _lib()
     if lib is None:
-        d0 = 1.24 * np.cbrt(len(p) - 15) - 1.8
+        # Zhang & Skolnick d0, clamped at 0.5 like standard TM-score
+        # implementations: the raw formula is <= 0 for L <= 18, which
+        # would explode (d/d0)^2 (unguarded in the reference's
+        # novelty_calculation.py too).
+        d0 = max(1.24 * np.cbrt(len(p) - 15) - 1.8, 0.5)
         d = np.sqrt(np.sum((p - q) ** 2, axis=1))
         return float(np.mean(1.0 / (1.0 + (d / d0) ** 2)))
     return float(lib.nov_tm_score(_c(p), _c(q), len(p)))

@@ -77,7 +77,11 @@ def resdiff_loss(key: Array,
     else:
         d_hat, valid = pairwise_distances(denoised.pos, batch.mask)
         d_true, _ = pairwise_distances(batch.pos, batch.mask)
-    gate2 = gate[..., 0]
+    # gate is [B,1,1]: drop trailing axes down to the rank of `valid`
+    # ([B,N-1] sequential, [B,N,N] pairwise) — gate[..., 0] ([B,1]) would
+    # fail to broadcast against [B,N,N] (or silently gate the wrong axis
+    # when B == N)
+    gate2 = gate if valid.ndim == 3 else gate[..., 0]
     w = valid.astype(eps.dtype) * gate2
     disto = jnp.sum(w * (d_hat - d_true) ** 2) / jnp.maximum(jnp.sum(w), 1.0)
 

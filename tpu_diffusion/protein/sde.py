@@ -152,14 +152,17 @@ class HoogeboomGraphSDE:
             t = jnp.full((b,), step / self.num_steps, pos.dtype)
             cur = batch._replace(pos=pos)
 
+            # The reference computes noise_hat BEFORE the conditioner
+            # update and then applies the DDPM step with that (stale)
+            # noise_hat on the updated positions (sde_diffusion.py:324,
+            # :332-336, :339-341) — same order here.
+            eps_hat = score_model(cur, t)
+
             if conditioner is not None:
                 update = conditioner.apply(cur, score_model, step,
                                            self)  # [B, N, 3]
                 active = (step < cond_start_step).astype(pos.dtype)
                 pos = pos + active * update
-                cur = batch._replace(pos=pos)
-
-            eps_hat = score_model(cur, t)
             z = com_free_noise(kz, pos, batch.mask)
             keep_noise = (step > no_noise_steps - 1).astype(pos.dtype)
             pos = (pos - (1 - a) / jnp.sqrt(1 - abar) * eps_hat) \

@@ -92,8 +92,12 @@ class SO3Diffuser:
     # -- schedule -------------------------------------------------------------
 
     def sigma(self, t: Array) -> Array:
-        """Log-linear sigma(t), t in [0, 1]."""
-        return self.min_sigma + t * (self.max_sigma - self.min_sigma)
+        """FrameDiff's 'logarithmic' schedule (reference
+        so3_diffuser.py:188-195): sigma(t) = log(t e^{max} + (1-t) e^{min})
+        — monotone from min_sigma to max_sigma, so the linspace sigma grid
+        lookup below stays valid."""
+        return jnp.log(t * jnp.exp(self.max_sigma)
+                       + (1.0 - t) * jnp.exp(self.min_sigma))
 
     def _sigma_idx(self, sigma: Array) -> Array:
         frac = (sigma - self.min_sigma) / (self.max_sigma - self.min_sigma)
@@ -144,9 +148,11 @@ class SO3Diffuser:
         return axis * self.score_norm(t, omega)[..., None]
 
     def score_scaling(self, t: Array) -> Array:
-        """1 / E[|score|] normalization (reference score_scaling)."""
+        """sqrt(E[score^2]) / sqrt(3) — the reference's score_scaling
+        semantics verbatim (so3_diffuser.py:172-176, :301-303); FrameDiff
+        DIVIDES its rotation loss by this value (it is not a reciprocal)."""
         idx = self._sigma_idx(self.sigma(t))
-        return 1.0 / jnp.maximum(self.score_scale_table[idx], 1e-6)
+        return self.score_scale_table[idx] / jnp.sqrt(3.0)
 
     # -- forward / reverse ------------------------------------------------------------
 
@@ -161,8 +167,12 @@ class SO3Diffuser:
                      t: Array, dt: float, noise_scale: float = 1.0
                      ) -> Array:
         """Geodesic EM step: rot <- rot exp{[sigma' related drift] + noise}."""
-        g2 = self.sigma(jnp.asarray(t)) * (self.max_sigma
-                                           - self.min_sigma) * 2
+        # g_t^2 = 2 sigma sigma' for the logarithmic schedule:
+        # sigma' = (e^max - e^min) / e^{sigma(t)} (reference
+        # so3_diffuser.py:197-206 diffusion_coef squared)
+        s = self.sigma(jnp.asarray(t))
+        g2 = 2.0 * s * (jnp.exp(self.max_sigma)
+                        - jnp.exp(self.min_sigma)) / jnp.exp(s)
         g2 = g2.reshape(g2.shape + (1,) * (score.ndim - g2.ndim))
         drift = g2 * score * dt
         noise = noise_scale * jnp.sqrt(jnp.maximum(g2 * dt, 0.0)) \

@@ -103,10 +103,14 @@ def ideal_backbone_from_ca(ca_pos: Array) -> Tuple[Array, Array]:
     """Place idealized N and C atoms around each C-alpha using neighbor
     directions (the frame_transforms idealization used when only CA traces
     exist). Returns (n_pos, c_pos) of the same shape as ca_pos."""
-    nxt = jnp.roll(ca_pos, -1, axis=-2)
-    prv = jnp.roll(ca_pos, 1, axis=-2)
-    to_next = (nxt - ca_pos)
-    to_prev = (prv - ca_pos)
+    # edge-clamped neighbor directions (NOT jnp.roll, which would borrow
+    # the opposite chain end — or a zero pad row — for the terminal
+    # residues, placing wildly non-physical N/C atoms there): the first
+    # residue's "previous" direction and the last residue's "next"
+    # direction extrapolate the terminal bond.
+    fwd = ca_pos[..., 1:, :] - ca_pos[..., :-1, :]        # [..., L-1, 3]
+    to_next = jnp.concatenate([fwd, fwd[..., -1:, :]], axis=-2)
+    to_prev = jnp.concatenate([-fwd[..., :1, :], -fwd], axis=-2)
     e_next = to_next / norm_no_nan(to_next, keepdims=True)
     e_prev = to_prev / norm_no_nan(to_prev, keepdims=True)
     c_pos = ca_pos + IDEAL_CA_C * e_next
