@@ -67,7 +67,11 @@ def main(argv=None):
     p.add_argument("--motif_npy", default=None)
     p.add_argument("--motif_indices_npy", default=None)
     p.add_argument("--guidance_scale", type=float, default=1500.0)
-    p.add_argument("--cond_start_step", type=int, default=125)
+    p.add_argument("--cond_start_step", type=int, default=0,
+                   help="conditioner active for step < this; 0 -> "
+                        "diffusion_steps // 2 (the reference's 125 of "
+                        "250 — guidance at t near 1, where beta is "
+                        "large, explodes under the gs*a*(1-a) law)")
     p.add_argument("--no_conditioner", action="store_true")
     p.add_argument("--data_root", default="data/scope")
     p.add_argument("--seed", type=int, default=0)
@@ -77,6 +81,8 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     os.makedirs(args.output_dir, exist_ok=True)
+    if args.cond_start_step <= 0:
+        args.cond_start_step = args.diffusion_steps // 2
     model = build_model(args)
     diffuser = HoogeboomGraphSDE(num_steps=args.diffusion_steps)
 

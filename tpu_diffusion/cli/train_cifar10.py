@@ -134,8 +134,7 @@ def main(argv=None):
     elif args.model == "otcfm":
         matcher = get_matcher("otcfm", sigma=0.0, method=args.ot_method)
     else:
-        matcher = get_matcher(args.model,
-                              sigma=0.0 if args.model != "si" else 0.0)
+        matcher = get_matcher(args.model, sigma=0.0)
 
     rng = jax.random.PRNGKey(args.seed)
     x = jnp.zeros((1, 32, 32, 3))

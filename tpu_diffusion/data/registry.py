@@ -247,6 +247,10 @@ def infinite_batches(ds: ArrayDataset, batch_size: int, seed: int = 0,
     """Shuffled epochs forever; optional random horizontal flip."""
     rng = np.random.default_rng(seed)
     n = len(ds)
+    if batch_size > n:
+        raise ValueError(
+            f"batch_size={batch_size} exceeds dataset size {n} — the "
+            f"epoch loop would yield nothing and spin forever")
     while True:
         perm = rng.permutation(n)
         for s in range(0, n - batch_size + 1, batch_size):

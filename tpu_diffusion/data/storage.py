@@ -159,8 +159,12 @@ class LMDBDataset(KeyedDataset):
     def get(self, key: str):
         if self._env is not None:
             with self._env.begin() as txn:
-                return self._ser.loads(txn.get(key.encode()))
-        return self._ser.loads(self._mini.get(key.encode()))
+                blob = txn.get(key.encode())
+        else:
+            blob = self._mini.get(key.encode())
+        if blob is None:  # both backends return None for absent keys
+            raise KeyError(key)
+        return self._ser.loads(blob)
 
     @classmethod
     def write(cls, path: str, items: Dict[str, Any],

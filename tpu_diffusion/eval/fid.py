@@ -67,8 +67,11 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
             covmean = covmean.real
         tr_covmean = np.trace(covmean)
     except ImportError:
-        # sqrt of the PSD-symmetrized product via eigenvalues
-        s, _ = np.linalg.eigh((sigma1 @ sigma2 + sigma2 @ sigma1) / 2)
+        # Tr((S1 S2)^{1/2}) = sum of sqrt of the eigenvalues of S1 @ S2
+        # (similar to the SPD matrix S2^{1/2} S1 S2^{1/2}, so the spectrum
+        # is real non-negative up to roundoff). Symmetrizing the product
+        # first is NOT equivalent for non-commuting S1, S2 and biases FID.
+        s = np.linalg.eigvals(sigma1 @ sigma2).real
         tr_covmean = np.sum(np.sqrt(np.clip(s, 0, None)))
     return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
                  - 2.0 * tr_covmean)

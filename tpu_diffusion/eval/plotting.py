@@ -44,13 +44,17 @@ def set_plotstyle(context: str = "paper"):
 
 
 def _numeric_columns(rows: List[Dict]) -> List[str]:
+    if not rows:
+        return []
     cols = []
     for k in rows[0]:
         if k in ("id",):
             continue
-        vals = [r.get(k) for r in rows]
-        if all(isinstance(v, (int, float)) and np.isfinite(v)
-               for v in vals if v is not None):
+        vals = [v for r in rows for v in [r.get(k)] if v is not None]
+        # require at least one actual numeric value — an all-None column
+        # is vacuously "numeric" otherwise and crashes ax.hist downstream
+        if vals and all(isinstance(v, (int, float)) and np.isfinite(v)
+                        for v in vals):
             cols.append(k)
     return cols
 
@@ -120,6 +124,13 @@ def parallel_coordinates(rows: List[Dict],
     """Parallel-coordinates plot across statistics (plot_pipeline.py)."""
     import matplotlib.pyplot as plt
     columns = list(columns or _numeric_columns(rows))
+    # keep only columns present in EVERY row (optional per-row stats like
+    # novelty_tm_score may exist on a subset; r[c] would KeyError)
+    columns = [c for c in columns
+               if all(isinstance(r.get(c), (int, float)) for r in rows)]
+    if not columns:
+        fig, ax = plt.subplots()
+        return fig
     data = np.array([[r[c] for c in columns] for r in rows], float)
     lo = data.min(0)
     hi = np.maximum(data.max(0) - lo, 1e-9)

@@ -38,9 +38,17 @@ Array = jax.Array
 
 
 def _pick_block(t: int, block: int) -> int:
+    """Largest divisor block that Mosaic can lay out: the out-specs use
+    blocks of size (.., block) on the token axis, which must be either the
+    FULL dimension or a multiple of 128 (see the layout note below). A
+    plain halving loop could land on e.g. 64 for t=320 and fail to
+    compile; fall back to the full dimension when no legal divisor
+    exists."""
     block = min(block, t)
     while t % block:
         block //= 2
+    if block < 128 and block != t:
+        return t  # full-dim block is always layout-legal
     return block
 
 

@@ -90,6 +90,12 @@ def fused_groupnorm_silu(x: Array, gamma: Array, beta: Array,
     fp32 statistics regardless of x.dtype (GroupNorm32 contract).
     """
     b, h, w, c = x.shape
+    if c % num_groups:
+        # the one-hot channel->group contraction would silently assign
+        # trailing channels to NO group (zero stats -> silu(beta)
+        # constants); flax GroupNorm raises on the same input
+        raise ValueError(
+            f"channels {c} not divisible by num_groups={num_groups}")
     film = scale is not None
     if not film:
         # dummy operands keep one kernel signature (zero extra traffic

@@ -239,24 +239,29 @@ def host_ot_pairs(batches, seed: int = 0, prefetch: int = 2):
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
 
+    def put_or_stop(msg) -> bool:
+        # bounded put with a stop check: when the consumer abandons the
+        # generator (trainer done, early break) the worker must exit
+        # instead of blocking on a full queue forever, pinning the source
+        # iterator and computing O(b^3) solves for nobody. Applies to the
+        # terminal ("end"/"err") puts too — an exhausted source with a
+        # full queue would otherwise leak the thread the same way.
+        while not stop.is_set():
+            try:
+                q.put(msg, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for item in paired():
-                # bounded put with a stop check: when the consumer abandons
-                # the generator (trainer done, early break) the worker must
-                # exit instead of blocking on a full queue forever, pinning
-                # the source iterator and computing O(b^3) solves for nobody
-                while not stop.is_set():
-                    try:
-                        q.put(("data", item), timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not put_or_stop(("data", item)):
                     return
-            q.put(("end", None))
+            put_or_stop(("end", None))
         except BaseException as e:  # surface worker failures in the consumer
-            q.put(("err", e))
+            put_or_stop(("err", e))
 
     threading.Thread(target=worker, daemon=True).start()
     try:
@@ -405,6 +410,13 @@ def get_matcher(name: str, sigma: float = 0.0, **kw) -> ConditionalFlowMatcher:
     if name not in MATCHERS:
         raise NotImplementedError(
             f"Unknown matcher {name!r}; expected one of {sorted(MATCHERS)}")
+    if name == "sbcfm" and sigma <= 0:
+        # torchcfm raises the same way: the Schrödinger-bridge coupling's
+        # sinkhorn regularization is 2*sigma^2 — sigma=0 divides the cost
+        # matrix by zero and silently corrupts every pairing
+        raise ValueError(
+            f"sbcfm requires sigma > 0 (got {sigma}); the entropic OT "
+            f"coupling uses reg = 2*sigma^2")
     return MATCHERS[name](sigma=sigma, **kw)
 
 

@@ -33,6 +33,8 @@ def effective_platform() -> str:
     """
     dd = jax.config.jax_default_device
     if dd is not None:
+        if isinstance(dd, str):  # jax.default_device("cpu") string form
+            return dd
         platform = getattr(dd, "platform", None)
         if platform is not None:
             return platform

@@ -43,8 +43,10 @@ class ResBlock(nn.Module):
     norm_impl: str = "xla"  # "xla" | "fused" (Pallas GroupNorm+FiLM+SiLU)
 
     @nn.compact
-    def __call__(self, x: Array, emb: Array, *, deterministic: bool = True
+    def __call__(self, x: Array, emb: Array, deterministic: bool = True
                  ) -> Array:
+        # `deterministic` is positional-friendly so nn.remat can mark it
+        # static (static_argnums=(3,)) under use_checkpoint
         fused = self.norm_impl == "fused"
         if fused:
             h = FusedNormAct()(x)
@@ -101,8 +103,15 @@ class AttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, h, w, c = x.shape
+        if self.num_head_channels > 0 and c % self.num_head_channels:
+            raise ValueError(
+                f"channels {c} not divisible by num_head_channels="
+                f"{self.num_head_channels} (the reference asserts this; "
+                f"floor-division would silently change head geometry)")
         heads = (c // self.num_head_channels
                  if self.num_head_channels > 0 else self.num_heads)
+        if c % heads:
+            raise ValueError(f"channels {c} not divisible by {heads} heads")
         head_dim = c // heads
 
         if self.norm_impl == "fused":
@@ -239,13 +248,17 @@ class UNetModel(nn.Module):
 
         block = ResBlock
         if self.use_checkpoint:
-            block = nn.remat(ResBlock, static_argnums=())
+            # static_argnums counts self as 0 -> 3 is `deterministic`;
+            # without it the traced bool reaches flax Dropout's python
+            # `if` and raises TracerBoolConversionError whenever
+            # dropout > 0 (deterministic must be passed positionally)
+            block = nn.remat(ResBlock, static_argnums=(3,))
 
         def res(h, out_ch, name, *, up=False, down=False):
             return block(out_ch, self.dropout, self.use_scale_shift_norm,
                          up, down, self.dtype, self.norm_dtype,
                          self.norm_impl, name=name)(
-                             h, emb, deterministic=not train)
+                             h, emb, not train)
 
         def attn(h, name):
             return AttentionBlock(self.num_heads, self.num_head_channels,

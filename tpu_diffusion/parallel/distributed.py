@@ -60,6 +60,11 @@ def host_local_to_global(mesh: Mesh, local_batch: PyTree,
 def process_batch_slice(global_batch: int) -> slice:
     """This process's slice of a host-partitioned global batch."""
     n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(
+            f"global_batch={global_batch} not divisible by "
+            f"process_count={n} — the remainder would be silently "
+            f"dropped from every step")
     per = global_batch // n
     i = jax.process_index()
     return slice(i * per, (i + 1) * per)

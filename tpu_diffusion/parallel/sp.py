@@ -48,8 +48,7 @@ def ring_attention(q: Array, k: Array, v: Array, axis_name: str) -> Array:
     perm = [(i, (i + 1) % n) for i in range(n)]
     qf = q.astype(jnp.float32) * scale
 
-    def step(carry, _):
-        o, m, l, k_blk, v_blk = carry
+    def attend(o, m, l, k_blk, v_blk):
         s = jnp.einsum("...qd,...kd->...qk", qf,
                        k_blk.astype(jnp.float32))
         m_new = jnp.maximum(m, s.max(-1))
@@ -58,16 +57,27 @@ def ring_attention(q: Array, k: Array, v: Array, axis_name: str) -> Array:
         l = l * alpha + p.sum(-1)
         o = o * alpha[..., None] + jnp.einsum(
             "...qk,...kd->...qd", p, v_blk.astype(jnp.float32))
-        # rotate the K/V block one hop around the ring (ICI neighbour)
-        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
-        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
-        return (o, m_new, l, k_blk, v_blk), None
+        return o, m_new, l
 
+    # the local block is attended OUTSIDE the scan and each scan step
+    # rotates BEFORE attending (n-1 steps): a rotate-after-attend loop of
+    # length n would pay one final dead ppermute pair whose result is
+    # discarded — XLA cannot eliminate collectives inside a scan body
     o0 = jnp.zeros(q.shape, jnp.float32)
     m0 = jnp.full(q.shape[:-1], -jnp.inf, jnp.float32)
     l0 = jnp.zeros(q.shape[:-1], jnp.float32)
-    (o, _, l, _, _), _ = jax.lax.scan(step, (o0, m0, l0, k, v), None,
-                                      length=n)
+    o, m, l = attend(o0, m0, l0, k, v)
+
+    def step(carry, _):
+        o, m, l, k_blk, v_blk = carry
+        # rotate the K/V block one hop around the ring (ICI neighbour)
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        o, m, l = attend(o, m, l, k_blk, v_blk)
+        return (o, m, l, k_blk, v_blk), None
+
+    (o, _, l, _, _), _ = jax.lax.scan(step, (o, m, l, k, v), None,
+                                      length=n - 1)
     return (o / l[..., None]).astype(q.dtype)
 
 

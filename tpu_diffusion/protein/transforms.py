@@ -103,14 +103,22 @@ def ideal_backbone_from_ca(ca_pos: Array) -> Tuple[Array, Array]:
     """Place idealized N and C atoms around each C-alpha using neighbor
     directions (the frame_transforms idealization used when only CA traces
     exist). Returns (n_pos, c_pos) of the same shape as ca_pos."""
-    # edge-clamped neighbor directions (NOT jnp.roll, which would borrow
-    # the opposite chain end — or a zero pad row — for the terminal
-    # residues, placing wildly non-physical N/C atoms there): the first
-    # residue's "previous" direction and the last residue's "next"
-    # direction extrapolate the terminal bond.
+    # Edge-extrapolated neighbor directions (NOT jnp.roll, which would
+    # borrow the opposite chain end — or a zero pad row — for the
+    # terminal residues, placing wildly non-physical N/C atoms there).
+    # The terminal residue borrows the ADJACENT bond's direction
+    # (continuing the local bend), not a mirror of its own bond — exact
+    # antiparallel to_prev/to_next would make the N/C directions
+    # collinear and degenerate the Gram-Schmidt OrientationFrame.
     fwd = ca_pos[..., 1:, :] - ca_pos[..., :-1, :]        # [..., L-1, 3]
-    to_next = jnp.concatenate([fwd, fwd[..., -1:, :]], axis=-2)
-    to_prev = jnp.concatenate([-fwd[..., :1, :], -fwd], axis=-2)
+    if fwd.shape[-2] >= 2:
+        head = -fwd[..., 1:2, :]    # ca[-1] ~ ca[0] - (ca[2] - ca[1])
+        tail = fwd[..., -2:-1, :]   # ca[L] ~ ca[L-1] + (ca[L-2]-ca[L-3])
+    else:  # 2-residue chain: frames are underdetermined either way
+        head = -fwd[..., :1, :]
+        tail = fwd[..., -1:, :]
+    to_next = jnp.concatenate([fwd, tail], axis=-2)
+    to_prev = jnp.concatenate([head, -fwd], axis=-2)
     e_next = to_next / norm_no_nan(to_next, keepdims=True)
     e_prev = to_prev / norm_no_nan(to_prev, keepdims=True)
     c_pos = ca_pos + IDEAL_CA_C * e_next

@@ -19,7 +19,6 @@ class PeriodicAction:
         self._every_steps = every_steps
         self._every_secs = every_secs
         self._on_steps = set(on_steps or [])
-        self._previous_step: Optional[int] = None
         self._previous_time = time.monotonic()
         self._last_step: Optional[int] = None
 
@@ -48,11 +47,16 @@ class PeriodicAction:
                 f"after {self._last_step}")
         self._last_step = step
 
-    def __call__(self, step: int, **kwargs) -> bool:
+    def __call__(self, step: int, _fire: Optional[bool] = None,
+                 **kwargs) -> bool:
+        """`_fire` lets a caller that already previewed `should_fire(step)`
+        pass that decision back in, so an every_secs deadline crossing
+        between the preview and this call cannot fire with arguments
+        prepared for the no-fire path."""
         self._check_call_every_step(step)
-        if not self._should_trigger(step):
+        fire = self._should_trigger(step) if _fire is None else _fire
+        if not fire:
             return False
-        self._previous_step = step
         self._previous_time = time.monotonic()
         self._apply(step, **kwargs)
         return True

@@ -57,12 +57,16 @@ def make_optimizer(lr: float | optax.Schedule, warmup: int = 0,
     """
     if callable(lr):
         sched = lr
-    elif schedule == "constant" or warmup == 0:
-        sched = optax.constant_schedule(lr)
     elif schedule == "warmup_cosine":
+        # checked before the warmup==0 shortcut: warmup=0 +
+        # warmup_cosine means "no warmup, cosine decay still wanted" —
+        # silently dropping the decay trained at constant peak LR
         assert total_steps is not None
         sched = optax.warmup_cosine_decay_schedule(
-            0.0, lr, warmup, max(total_steps, warmup + 1))
+            lr if warmup == 0 else 0.0, lr, warmup,
+            max(total_steps, warmup + 1))
+    elif schedule == "constant" or warmup == 0:
+        sched = optax.constant_schedule(lr)
     else:
         sched = lambda step: lr * jnp.minimum(
             (step + 1) / max(warmup, 1), 1.0)
@@ -145,9 +149,13 @@ class Trainer:
             step = step0 + local_step + 1
             # Only pay the device->host metric transfer on steps where some
             # consumer actually runs; otherwise leave the step in flight.
-            fire = metrics_hook is not None or any(
-                getattr(cb, "should_fire", lambda s: True)(step)
-                for cb in self.callbacks)
+            # Each callback's decision is sampled ONCE and passed back in:
+            # an every_secs deadline crossing between this preview and the
+            # callback's own re-check would otherwise fire with the raw
+            # device-array metrics (no steps_per_sec key).
+            decisions = [getattr(cb, "should_fire", lambda s: True)(step)
+                         for cb in self.callbacks]
+            fire = metrics_hook is not None or any(decisions)
             if fire:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["steps_per_sec"] = (local_step + 1) / (
@@ -156,6 +164,9 @@ class Trainer:
                 m = metrics  # device arrays; no callback will read them
             if metrics_hook is not None:
                 metrics_hook(step, m)
-            for cb in self.callbacks:
-                cb(step, state=self.state, metrics=m)
+            for cb, d in zip(self.callbacks, decisions):
+                if hasattr(cb, "should_fire"):
+                    cb(step, state=self.state, metrics=m, _fire=d)
+                else:
+                    cb(step, state=self.state, metrics=m)
         return self.state

@@ -16,7 +16,6 @@ from typing import Dict, List, Mapping
 
 import numpy as np
 
-_ALL_WRITERS: List["MetricWriter"] = []
 
 
 def _to_uint8_grid(images: np.ndarray, nrow: int = 8, pad: int = 2
@@ -36,7 +35,8 @@ def _to_uint8_grid(images: np.ndarray, nrow: int = 8, pad: int = 2
 
 class MetricWriter:
     def __init__(self):
-        _ALL_WRITERS.append(self)
+        # auto-close at exit (writers.py:82-94); atexit holds the only
+        # extra reference — no global registry needed
         atexit.register(self.close)
 
     def log_hparams(self, hparams: Mapping): ...
@@ -94,6 +94,7 @@ class LocalWriter(MetricWriter):
         self._flush_every_n = flush_every_n
         self._csv_path = os.path.join(logdir, "metrics.csv")
         self._columns: List[str] = ["step"]
+        self._written_columns: List[str] = []  # header already on disk
 
     def log_hparams(self, hparams):
         import yaml
@@ -131,13 +132,27 @@ class LocalWriter(MetricWriter):
         if not self._rows:
             return
         import csv
-        exists = os.path.exists(self._csv_path)
-        with open(self._csv_path, "a", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=self._columns, restval="")
-            if not exists:
+        if self._written_columns and \
+                self._written_columns != self._columns:
+            # a metric key first appeared after the header was written
+            # (e.g. eval fid/lpips starting late): rewrite the file under
+            # the widened header instead of appending rows with more
+            # fields than the header names (structurally broken CSV)
+            with open(self._csv_path, newline="") as f:
+                old_rows = list(csv.DictReader(f))
+            with open(self._csv_path, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=self._columns, restval="")
                 w.writeheader()
-            for row in self._rows:
-                w.writerow(row)
+                w.writerows(old_rows)
+                w.writerows(self._rows)
+        else:
+            exists = os.path.exists(self._csv_path)
+            with open(self._csv_path, "a", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=self._columns, restval="")
+                if not exists:
+                    w.writeheader()
+                w.writerows(self._rows)
+        self._written_columns = list(self._columns)
         self._rows.clear()
 
 
