@@ -103,9 +103,10 @@ def init_state(config, parts, rng):
     return state, tx
 
 
-def make_losses_and_samplers(config, parts, params_getter):
-    """Wire loss + samplers around a params accessor (so samplers track EMA
-    params without retracing)."""
+def make_losses_and_samplers(config, parts):
+    """Build the jitted loss and the conditional/prior samplers. The
+    samplers take `params` as an explicit jit argument, so the same
+    compiled program serves live and EMA params without retracing."""
     model, ddpm = parts["model"], parts["ddpm"]
     cond, lik = parts["conditioning"], parts["likelihood"]
 
@@ -157,6 +158,9 @@ def make_losses_and_samplers(config, parts, params_getter):
 
 
 _LPIPS_CACHE: dict = {}
+# real-set FID feature statistics, computed once per (dataset, features,
+# size) and reused by every periodic eval in the run (they never change)
+_FID_REAL_CACHE: dict = {}
 
 
 def _get_lpips(image_size: int, channels: int):
@@ -182,8 +186,16 @@ def run_eval(config, parts, params, logdir: str, writer=None,
     """
     dsc = config.dataset
     lik = parts["likelihood"]
+    if lik is None:
+        # the reference's eval protocol is conditional (MSE/LPIPS against
+        # the observed image); a 'none'-likelihood config has nothing to
+        # condition on — record that instead of crashing on lik.sample
+        results = {"skipped": "likelihood 'none': no conditional eval"}
+        with open(os.path.join(logdir, "results.json"), "w") as f:
+            json.dump(results, f, indent=2)
+        return results
     if cond_sample is None:
-        _, cond_sample, _ = make_losses_and_samplers(config, parts, None)
+        _, cond_sample, _ = make_losses_and_samplers(config, parts)
     lpips_fn = (_get_lpips(dsc.image_size, dsc.num_channels)
                 if config.testing.lpips else None)
     test = get_dataset(dsc.name)(dsc.root, train=False)
@@ -192,6 +204,8 @@ def run_eval(config, parts, params, logdir: str, writer=None,
     key = jax.random.PRNGKey(config.testing.seed)
     stats = []
     samples, gts = [], []
+    gen_for_fid = []
+    n_eval = 0
     for b in range(num_batches):
         imgs = jnp.asarray(test.images[b * bs:(b + 1) * bs])
         if len(imgs) < bs:
@@ -205,34 +219,42 @@ def run_eval(config, parts, params, logdir: str, writer=None,
         if lpips_fn is not None:
             batch_stats["lpips"] = float(jnp.mean(lpips_fn(x0, imgs)))
         stats.append(batch_stats)
+        n_eval += int(len(imgs))
+        if config.testing.fid:
+            gen_for_fid.append(np.asarray(x0))
         if b == 0:
             samples, gts = np.asarray(x0), np.asarray(imgs)
     results = {k: float(np.mean([s[k] for s in stats]))
                for k in (stats[0] if stats else {})}
-    results["num_images"] = num_batches * bs
-    if config.testing.fid:
+    results["num_images"] = n_eval  # actual count (short tail batches skip)
+    if config.testing.fid and gen_for_fid:
         # optional FID with train-set reals (main.py:261-269; feature
         # extractor configurable via testing.fid_features — "inception"
         # gives exact parity when weights are present, "random_conv" is the
-        # always-available deterministic fallback)
+        # always-available deterministic fallback). The metric loop's own
+        # samples feed the fake side (re-sampling an identical second set
+        # doubled the most expensive part of every periodic eval), and the
+        # real-set statistics are computed once per run and cached.
         from tpu_diffusion.data.registry import epoch_batches
-        from tpu_diffusion.eval.fid import FID, make_feature_fn
-        fid = FID(make_feature_fn(config.testing.fid_features,
-                                  image_size=dsc.image_size,
-                                  channels=dsc.num_channels))
-        train_set = get_dataset(dsc.name)(dsc.root, train=True)
-        for rb in epoch_batches(train_set, bs):
-            fid.update(jnp.asarray(rb), real=True)
-        key2 = jax.random.PRNGKey(config.testing.seed + 1)
-        for b in range(num_batches):
-            imgs = jnp.asarray(test.images[b * bs:(b + 1) * bs])
-            if len(imgs) < bs:
-                break
-            key2, kc, kx, ks = jax.random.split(key2, 4)
-            condition = lik.sample(kc, imgs)
-            xT = jax.random.normal(kx, imgs.shape)
-            fid.update(cond_sample(params, ks, xT, condition), real=False)
-        results["fid"] = fid.compute()
+        from tpu_diffusion.eval.fid import (compute_statistics,
+                                            frechet_distance,
+                                            make_feature_fn)
+        ck = (dsc.name, dsc.root, config.testing.fid_features,
+              dsc.image_size, dsc.num_channels)
+        if ck not in _FID_REAL_CACHE:
+            feature_fn = make_feature_fn(config.testing.fid_features,
+                                         image_size=dsc.image_size,
+                                         channels=dsc.num_channels)
+            train_set = get_dataset(dsc.name)(dsc.root, train=True)
+            feats = [np.asarray(feature_fn(jnp.asarray(rb)))
+                     for rb in epoch_batches(train_set, bs)]
+            _FID_REAL_CACHE[ck] = (
+                feature_fn, compute_statistics(np.concatenate(feats)))
+        feature_fn, (mu_r, s_r) = _FID_REAL_CACHE[ck]
+        fake = np.concatenate([np.asarray(feature_fn(jnp.asarray(g)))
+                               for g in gen_for_fid])
+        mu_f, s_f = compute_statistics(fake)
+        results["fid"] = frechet_distance(mu_r, s_r, mu_f, s_f)
         results["fid_features"] = config.testing.fid_features
         if config.testing.fid_features != "inception":
             # make the caveat machine-readable in the artifact itself, not
@@ -287,7 +309,7 @@ def main(argv: Optional[list] = None):
     rng = jax.random.PRNGKey(config.training.seed)
     state, tx = init_state(config, parts, rng)
     loss_fn, cond_sample, prior_sample = make_losses_and_samplers(
-        config, parts, None)
+        config, parts)
     train_step = make_train_step(
         loss_fn, tx, ema_decay=config.training.ema_decay,
         ema_update_every=config.training.ema_update_every)
@@ -310,10 +332,18 @@ def main(argv: Optional[list] = None):
 
         def plot_samples(step, state, **kw):
             imgs = jnp.asarray(train_ds.images[:16])
-            k = jax.random.fold_in(jax.random.PRNGKey(1), step)
-            cond = parts["likelihood"].sample(k, imgs)
-            xT = jax.random.normal(k, imgs.shape)
-            x0 = cond_sample(state.ema.params, k, xT, cond)
+            # independent keys per stochastic op: mask placement, prior
+            # noise, and the reverse-chain noise must not be correlated
+            kc, kx, ks = jax.random.split(
+                jax.random.fold_in(jax.random.PRNGKey(1), step), 3)
+            if parts["likelihood"] is None:  # unconditional config
+                xT = jax.random.normal(kx, imgs.shape)
+                x0 = prior_sample(state.ema.params, ks, xT)
+                writer.write_images(step, {"samples": np.asarray(x0)})
+                return
+            cond = parts["likelihood"].sample(kc, imgs)
+            xT = jax.random.normal(kx, imgs.shape)
+            x0 = cond_sample(state.ema.params, ks, xT, cond)
             writer.write_images(step, {
                 "samples": np.asarray(x0),
                 "condition": np.asarray(jnp.clip(cond, -1, 1))})
@@ -350,9 +380,18 @@ def main(argv: Optional[list] = None):
 
     if args.mode in ("eval", "all"):
         if args.mode == "eval":
-            assets, _ = ckpt.load({"params": state.params,
-                                   "ema": state.ema.params, "step": 0})
+            assets, restored_step = ckpt.load(
+                {"params": state.params, "ema": state.ema.params,
+                 "step": 0})
             ema_params = assets["ema"]
+            if not restored_step:
+                # a fresh version dir has an empty ckpt dir: ckpt.load
+                # returns the random-init assets — evaluating those
+                # silently would produce a plausible-looking results.json
+                # for an untrained model
+                print("[main] WARNING: --mode eval found no checkpoint "
+                      "under this workdir; evaluating RANDOM-INIT params "
+                      "(pass --workdir pointing at a trained run)")
         else:
             ema_params = state.ema.params
         results = run_eval(config, parts, ema_params, logdir, writer,

@@ -145,6 +145,13 @@ def evaluate(model, params, test_ds, condition_fn, sampler, batch_size,
         })
         if first is None:
             first = (np.asarray(x1), np.asarray(imgs))
+    if not rows:
+        # e.g. eval_batch_size larger than the test split (synthetic256
+        # has 64 eval images): report that instead of IndexError-ing the
+        # periodic eval and killing the training run
+        print(f"[evaluate] WARNING: no eval batch of size {batch_size} "
+              f"fits the {len(test_ds)}-image test split; skipping eval")
+        return {"num_batches": 0}, None
     out = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
     out["num_batches"] = len(rows)
     return out, first

@@ -113,7 +113,11 @@ def main(argv=None):
                                  "step": 0})
     if start:
         print(f"[train_protein] resuming from step {start}")
+        # restore the EMA too: leaving state.ema at the fresh random init
+        # would blend ~0.999^k of garbage into every post-resume EMA read
         state = state.replace(params=restored["params"],
+                              ema=state.ema.replace(
+                                  params=restored["ema"]),
                               step=jnp.asarray(start, jnp.int32))
 
     every = args.ckpt_every or max(args.num_steps // 10, 1)

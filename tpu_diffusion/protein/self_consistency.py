@@ -110,6 +110,9 @@ class StubScorer(ProteinMPNNScorer):
         feats = np.concatenate([coords, d], -1)
         w = rng.normal(0, 0.5, (feats.shape[-1], len(ALPHABET)))
         logits = feats @ w
+        # stabilized log-softmax: raw coordinates can push |logits| past
+        # exp's overflow for long extended chains
+        logits = logits - logits.max(-1, keepdims=True)
         return logits - np.log(np.sum(np.exp(logits), -1, keepdims=True))
 
     def sample(self, coords: np.ndarray, seed: int = 0) -> np.ndarray:

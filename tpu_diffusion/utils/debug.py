@@ -69,16 +69,24 @@ def checkify_sampler(sample_fn: Callable) -> Callable:
 
 def strip_checkpoint_keys(assets: Dict[str, Any],
                           prefixes: Iterable[str]) -> Dict[str, Any]:
-    """Drop checkpoint entries whose (nested) key path starts with any
-    prefix — e.g. stale 'schedule' buffers."""
+    """Drop checkpoint entries matching any prefix: either the full
+    slash-joined path starts with it ('params/schedule' removes exactly
+    that subtree) or a key of that exact NAME appears at any depth (the
+    reference's surgery strips buffers like 'schedule' wherever they
+    live). Matching is path-component exact — 'schedule' does NOT match
+    'schedule_v2'."""
     prefixes = tuple(prefixes)
+
+    def matches(p: str, k: str) -> bool:
+        return any(p == pre or p.startswith(pre + "/") or k == pre
+                   for pre in prefixes)
 
     def prune(tree, path=""):
         if isinstance(tree, dict):
             out = {}
             for k, v in tree.items():
                 p = f"{path}/{k}" if path else k
-                if any(p.startswith(pre) or k == pre for pre in prefixes):
+                if matches(p, k):
                     continue
                 out[k] = prune(v, p)
             return out
