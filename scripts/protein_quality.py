@@ -113,33 +113,17 @@ def main(argv=None):
     state = TrainState.create(params, tx, rng)
     train_step = make_train_step(loss_fn, tx, ema_decay=0.999)
 
-    snaps = {0: jax.tree.map(np.asarray, params)}
-    losses = {}
+    last_loss = {"v": None}
 
-    def snap(step, state, metrics=None, **kw):
-        snaps[step] = jax.tree.map(np.asarray, state.params)
-        losses[step] = float(metrics["loss"]) if metrics else None
-        print(f"[protein_quality] snapshot @ step {step} "
-              f"loss={losses[step]}", flush=True)
+    def log_cb(step, metrics, **kw):
+        last_loss["v"] = float(metrics["loss"])
+        print(f"[protein_quality] step {step} loss={metrics['loss']:.4f} "
+              f"({metrics['steps_per_sec']:.2f} steps/s)", flush=True)
 
-    callbacks = [
-        PeriodicCallback(callback_fn=lambda step, metrics, **kw: print(
-            f"[protein_quality] step {step} loss={metrics['loss']:.4f} "
-            f"({metrics['steps_per_sec']:.2f} steps/s)", flush=True),
-            every_steps=200),
-        PeriodicCallback(callback_fn=snap,
-                         on_steps=[s for s in snap_steps if s > 0]),
-    ]
+    callbacks = [PeriodicCallback(callback_fn=log_cb, every_steps=200)]
     batches = protein_batches(ds, args.batch_size, seed=args.seed)
     trainer = Trainer(train_step, state, batches, mesh=mesh,
                       callbacks=callbacks)
-    t0 = time.monotonic()
-    state = trainer.fit(total_steps)
-    train_secs = time.monotonic() - t0
-    print(f"[protein_quality] trained {total_steps} steps in "
-          f"{train_secs:.1f}s ({total_steps/train_secs:.2f} steps/s incl. "
-          f"compile)", flush=True)
-    ema_params = jax.tree.map(np.asarray, state.ema.params)
 
     # ---- training-set reference statistics --------------------------------
     pipeline = EvaluationPipeline()
@@ -188,32 +172,14 @@ def main(argv=None):
             _write_csv(rows, os.path.join(args.out, csv_name))
         return rows
 
+    # ---- segmented train -> eval -> persist per snapshot ------------------
+    # The axon tunnel can drop mid-run on long jobs (observed twice); each
+    # completed snapshot's checkpoint, per-sample CSV, and curve entry hit
+    # disk before the next training segment starts, so a stall costs only
+    # the in-flight segment.
+    from tpu_diffusion.train.checkpoint import CheckpointManager
+    ckpt = CheckpointManager(os.path.join(args.out, "ckpt"), maximum=2)
     table = []
-    for step in snap_steps:
-        t1 = time.monotonic()
-        rows = eval_of(snaps[step], csv_name=f"sample_stats_{step}.csv")
-        s = summarize(rows)
-        w1 = compare_to_training(rows, train_rows)
-        entry = {"step": step, "loss": losses.get(step)}
-        for k in HEADLINE:
-            entry[k] = round(s.get(f"{k}_mean", float("nan")), 4)
-        for k in W1_KEYS:
-            entry[f"w1_{k}"] = round(w1.get(f"{k}_w1_vs_train",
-                                            float("nan")), 4)
-        table.append(entry)
-        print(f"[protein_quality] step {step}: "
-              + " ".join(f"{k}={entry[k]}" for k in HEADLINE)
-              + " | W1 " + " ".join(f"{k}={entry['w1_' + k]}"
-                                    for k in W1_KEYS)
-              + f" ({time.monotonic()-t1:.1f}s)", flush=True)
-
-    ema_rows = eval_of(ema_params, csv_name="sample_stats_ema.csv")
-    ema_w1 = compare_to_training(ema_rows, train_rows)
-    ema_entry = {f"w1_{k}": round(ema_w1.get(f"{k}_w1_vs_train",
-                                             float("nan")), 4)
-                 for k in W1_KEYS}
-    print(f"[protein_quality] final EMA params: {ema_entry}", flush=True)
-
     result = {
         "recipe": "HoogeboomGraphSDE N=%d, GVP (%d,%d)x%d, DSM + %g*aux, "
                   "Adam %g, bs %d" % (args.diffusion_steps,
@@ -225,16 +191,76 @@ def main(argv=None):
         "num_samples": args.num_samples,
         "num_train_eval": len(train_rows),
         "params_m": round(n_params / 1e6, 2),
-        "train_steps_per_sec_incl_compile": round(total_steps / train_secs,
-                                                  3),
         "train_reference": {k: round(train_summary[k + "_mean"], 4)
                             for k in HEADLINE},
         "curve": table,
-        "final_ema_w1": ema_entry,
+        "partial": True,
     }
     path = os.path.join(args.out, "quality_curve.json")
-    with open(path, "w") as f:
-        json.dump(result, f, indent=2)
+
+    def write_json():
+        with open(path, "w") as f:
+            json.dump(result, f, indent=2)
+
+    t0 = time.monotonic()
+    prev = 0
+    for step_target in snap_steps:
+        if step_target > prev:
+            state = trainer.fit(step_target - prev)
+            prev = step_target
+        params_s = jax.tree.map(np.asarray, state.params)
+        ckpt.save(step_target, {
+            "params": params_s,
+            "ema": jax.tree.map(np.asarray, state.ema.params),
+            "step": step_target})
+        t1 = time.monotonic()
+        rows = eval_of(params_s,
+                       csv_name=f"sample_stats_{step_target}.csv")
+        s = summarize(rows)
+        w1 = compare_to_training(rows, train_rows)
+        entry = {"step": step_target, "loss": last_loss["v"]}
+        for k in HEADLINE:
+            entry[k] = round(s.get(f"{k}_mean", float("nan")), 4)
+        for k in W1_KEYS:
+            entry[f"w1_{k}"] = round(w1.get(f"{k}_w1_vs_train",
+                                            float("nan")), 4)
+        table.append(entry)
+        write_json()
+        print(f"[protein_quality] step {step_target}: "
+              + " ".join(f"{k}={entry[k]}" for k in HEADLINE)
+              + " | W1 " + " ".join(f"{k}={entry['w1_' + k]}"
+                                    for k in W1_KEYS)
+              + f" ({time.monotonic()-t1:.1f}s)", flush=True)
+
+    total_trained = prev
+    train_secs = time.monotonic() - t0
+    result["train_steps_per_sec_incl_eval"] = round(
+        total_trained / max(train_secs, 1e-9), 3)
+    ema_params = jax.tree.map(np.asarray, state.ema.params)
+
+    # final artifacts: a few PDB samples from the final model (the orbax
+    # checkpoint per snapshot is already on disk)
+    final_params = jax.tree.map(jnp.asarray, params_s)
+    key = jax.random.PRNGKey(args.seed + 23)
+    lengths = jnp.asarray(np.random.default_rng(args.seed + 23)
+                          .choice(ds.lengths, args.sample_batch))
+    pos, mask = map(np.asarray, gen_batch(final_params, key, lengths))
+    from tpu_diffusion.protein.pdb import write_ca_pdb
+    for i in range(min(4, args.sample_batch)):
+        coords = pos[i][mask[i]] / COORD_SCALE
+        np.save(os.path.join(args.out, f"sample_{i:02d}.npy"), coords)
+        write_ca_pdb(coords, os.path.join(args.out, f"sample_{i:02d}.pdb"))
+
+    ema_rows = eval_of(ema_params, csv_name="sample_stats_ema.csv")
+    ema_w1 = compare_to_training(ema_rows, train_rows)
+    ema_entry = {f"w1_{k}": round(ema_w1.get(f"{k}_w1_vs_train",
+                                             float("nan")), 4)
+                 for k in W1_KEYS}
+    print(f"[protein_quality] final EMA params: {ema_entry}", flush=True)
+
+    result["final_ema_w1"] = ema_entry
+    result["partial"] = False
+    write_json()
     hdr = ["step", "loss"] + HEADLINE + [f"w1_{k}" for k in W1_KEYS]
     print("| " + " | ".join(hdr) + " |")
     print("|" + "---|" * len(hdr))
