@@ -38,7 +38,8 @@ import numpy as np
 from tpu_diffusion.cli.train_cifar10 import build_model, make_cfm_loss_fn
 from tpu_diffusion.data.registry import (epoch_batches, get_dataset,
                                          infinite_batches)
-from tpu_diffusion.eval.fid import (compute_statistics, frechet_distance,
+from tpu_diffusion.eval.fid import (fid_caveat,
+                                    compute_statistics, frechet_distance,
                                     make_feature_fn)
 from tpu_diffusion.losses.cfm import get_matcher, host_ot_pairs
 from tpu_diffusion.parallel.mesh import make_mesh
@@ -169,6 +170,7 @@ def main(argv=None):
         "train_steps_per_sec_incl_compile": round(total_steps / train_secs,
                                                   3),
         "curve": rows, "final_ema_fid": round(ema_fid, 3),
+        **fid_caveat(args.features, synthetic_data=ds.synthetic),
         "monotone_decreasing": all(
             rows[i]["fid"] >= rows[i + 1]["fid"] * 0.999
             for i in range(len(rows) - 1)),

@@ -177,3 +177,97 @@ def test_unet_with_pallas_attention_matches_xla():
     np.testing.assert_allclose(
         np.asarray(m_x.apply(params, x, t)),
         np.asarray(m_p.apply(params, x, t)), atol=1e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Whole-ResBlock megakernel (kernels/resblock.py) + fused inference engine
+# (models/unet_infer.py)
+# ---------------------------------------------------------------------------
+
+
+def _resblock_args(rng, B, H, W, Cin, Cout, scale_shift=True):
+    mk = lambda *s: jnp.asarray(rng.normal(size=s, scale=0.08),
+                                jnp.float32)
+    ea = 1.0 + mk(B, Cout) if scale_shift else None
+    return (mk(B, H, W, Cin), mk(Cin), mk(Cin), mk(3, 3, Cin, Cout),
+            mk(Cout), mk(Cout), mk(Cout), ea, mk(B, Cout),
+            mk(3, 3, Cout, Cout), mk(Cout),
+            mk(Cin, Cout) if Cin != Cout else None,
+            mk(Cout) if Cin != Cout else None)
+
+
+@pytest.mark.parametrize("cin,cout,scale_shift", [
+    (32, 32, True), (32, 64, True), (64, 32, False)])
+def test_fused_resblock_matches_flax_math(cin, cout, scale_shift):
+    """Kernel (interpret mode) == pure-jnp mirror == semantics of the flax
+    ResBlock (the mirror itself is pinned against ResBlock in
+    test_fused_resblock_matches_flax_module)."""
+    from tpu_diffusion.kernels.resblock import (fused_resblock,
+                                                resblock_reference)
+    rng = np.random.default_rng(0)
+    args = _resblock_args(rng, 4, 8, 8, cin, cout, scale_shift)
+    want = resblock_reference(*args)
+    got = fused_resblock(*args, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_fused_resblock_matches_flax_module():
+    """The jnp mirror reproduces models.unet.ResBlock exactly (fp32)."""
+    from tpu_diffusion.kernels.resblock import resblock_reference
+    from tpu_diffusion.models.unet import ResBlock
+    rng = np.random.default_rng(1)
+    B, H, W, Cin, Cout = 3, 8, 8, 16, 32
+    x = jnp.asarray(rng.normal(size=(B, H, W, Cin)), jnp.float32)
+    emb = jnp.asarray(rng.normal(size=(B, 12)), jnp.float32)
+    block = ResBlock(Cout, 0.0, True, dtype=jnp.float32,
+                     norm_dtype=jnp.float32)
+    params = block.init(jax.random.PRNGKey(0), x, emb)
+    params = jax.tree.map(lambda a: jnp.asarray(
+        rng.normal(size=a.shape, scale=0.05), a.dtype), params)
+    want = block.apply(params, x, emb)
+    p = params["params"]
+    gn1 = p["GroupNorm32_0"]["GroupNorm_0"]
+    gn2 = p["GroupNorm32_1"]["GroupNorm_0"]
+    d = p["Dense_0"]
+    emb_out = jnp.dot(jax.nn.silu(emb), d["kernel"]) + d["bias"]
+    sc, sh = jnp.split(emb_out, 2, -1)
+    got = resblock_reference(
+        x, gn1["scale"], gn1["bias"], p["Conv_0"]["kernel"],
+        p["Conv_0"]["bias"], gn2["scale"], gn2["bias"], 1.0 + sc, sh,
+        p["Conv_1"]["kernel"], p["Conv_1"]["bias"],
+        p["Conv_2"]["kernel"][0, 0], p["Conv_2"]["bias"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_fused_unet_inference_matches_model_apply():
+    """The param-tree inference engine == model.apply on the full UNet,
+    including encode/decode cache modes (models/unet_infer.py)."""
+    from tpu_diffusion.models.unet import create_model
+    from tpu_diffusion.models.unet_infer import make_fused_apply
+    rng = np.random.default_rng(2)
+    model = create_model(image_size=16, num_channels=8, num_res_blocks=2,
+                         in_channels=3, channel_mult=(1, 2), num_heads=2,
+                         attention_resolutions="8", dropout=0.0,
+                         use_scale_shift_norm=True, dtype=jnp.float32,
+                         norm_dtype=jnp.float32, attention_impl="xla")
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 3)), jnp.float32)
+    t = jnp.asarray(rng.uniform(size=(2,)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, t)
+    params = jax.tree.map(lambda a: jnp.asarray(
+        rng.normal(size=a.shape, scale=0.05), a.dtype), params)
+    want = model.apply(params, x, t)
+    fn = make_fused_apply(model, params, resblock="pallas", interpret=True)
+    got = fn(x, t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+    # encode/decode round trip equals the flax cache modes
+    h, skips = fn(x, t, mode="encode")
+    hw, skipsw = model.apply(params, x, t, mode="encode")
+    np.testing.assert_allclose(np.asarray(h), np.asarray(hw), atol=2e-5,
+                               rtol=1e-4)
+    dec = fn(x, t, mode="decode", cache=(h, skips))
+    decw = model.apply(params, x, t, mode="decode", cache=(hw, skipsw))
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(decw),
+                               atol=2e-5, rtol=1e-4)

@@ -245,3 +245,69 @@ def test_real_format_loader_goldens():
     with pytest.raises(FileNotFoundError):
         get_dataset("cifar10")(os.path.join(fx, "nope"), train=True,
                                allow_synthetic=False)
+
+
+def test_pretrained_weights_lookup_table():
+    """(dataset, conditioning[, likelihood]) -> path surface matches the
+    reference table semantics (experiments/config.py:7-35,159-167)."""
+    from tpu_diffusion.utils.config import (get_config,
+                                            pretrained_weights_path)
+    # amortized entries depend on the likelihood
+    assert pretrained_weights_path("mnist", "inpainting", "amortized") == \
+        "weights/mnist_ddpm_unconditional"
+    assert pretrained_weights_path("flowers", "outpainting", "amortized") == \
+        "weights/flowers_outpainting_amortized"
+    # guidance/replacement share the unconditional net
+    assert pretrained_weights_path(
+        "celeba", "inpainting", "reconstruction_guidance") == \
+        "weights/celeba_ddpm_unconditional"
+    # unregistered combos -> "" (train from scratch), like the reference's
+    # except-branch
+    assert pretrained_weights_path("cifar10", "inpainting", "amortized") == ""
+    # get_config wires the lookup into network.model_path
+    cfg = get_config("mnist,inpainting,amortized")
+    assert cfg.network.model_path == "weights/mnist_ddpm_unconditional"
+
+
+def test_cli_main_warmstart_from_pretrained(tmp_path):
+    """network.model_path bootstraps params from a saved checkpoint via
+    load_matching_params (reference load_matching_weights integration)."""
+    from tpu_diffusion.cli import main as cli_main
+    from tpu_diffusion.train.checkpoint import load_pretrained
+    from tpu_diffusion.utils.config import apply_overrides, get_config
+
+    overrides = [
+        "training.num_steps=2", "training.batch_size=8",
+        "diffusion.num_steps=50", "network.num_channels=8",
+        "network.attention_resolutions=", "network.dtype=float32",
+    ]
+    workdir = str(tmp_path / "pre")
+    os.makedirs(workdir)
+    cli_main.main(["--config", "mnist,inpainting,amortized",
+                   "--mode", "train", "--workdir", workdir]
+                  + [a for o in overrides for a in ("--override", o)])
+    ckpt_dir = os.path.join(workdir, "ckpt")
+    loaded = load_pretrained(ckpt_dir)
+    assert loaded is not None and "ema" in loaded
+
+    config = get_config("mnist,inpainting,amortized")
+    apply_overrides(config, overrides
+                    + [f"network.model_path={ckpt_dir}"])
+    parts = cli_main.build(config)
+    state, _ = cli_main.init_state(config, parts, jax.random.PRNGKey(7))
+    # every leaf shape-matches, so the warm start must equal the saved EMA
+    got = jax.tree.leaves(state.params)
+    want = jax.tree.leaves(loaded["ema"])
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a bogus path falls back to fresh init (no crash, different params)
+    config2 = get_config("mnist,inpainting,amortized")
+    apply_overrides(config2, overrides
+                    + [f"network.model_path={tmp_path / 'nope'}"])
+    state2, _ = cli_main.init_state(config2, cli_main.build(config2),
+                                    jax.random.PRNGKey(7))
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(jax.tree.leaves(state2.params), want)]
+    assert max(diffs) > 0

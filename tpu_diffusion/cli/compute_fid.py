@@ -138,12 +138,9 @@ def main(argv=None):
               "num_gen": n_batches * args.batch_size_fid,
               "mean_nfe": total_nfe / n_batches,
               "method": args.integration_method}
-    if args.features != "inception":
-        result["fid_comparable_to_published"] = False
-        result["fid_note"] = (
-            f"{args.features} features: self-consistent across runs of "
-            "this framework, NOT comparable to published Inception-FID "
-            "values (see tpu_diffusion/eval/fid.py)")
+    from tpu_diffusion.eval.fid import fid_caveat
+    result.update(fid_caveat(args.features,
+                             synthetic_data=getattr(ds, "synthetic", False)))
     print(json.dumps(result))
     out = os.path.join(args.input_dir, args.model,
                        f"fid_{args.features}.json")

@@ -106,6 +106,32 @@ class RandomConvFeatures(nn.Module):
         return nn.Dense(self.features, dtype=jnp.float32)(h)
 
 
+def fid_caveat(features: str, synthetic_data: bool = False) -> dict:
+    """Machine-readable caveat fields for any results payload carrying a
+    FID. Include these AT POINT OF USE in every artifact (r3 verdict item
+    6): numbers from non-Inception features and/or synthetic-fallback data
+    are self-consistent across runs of this framework but NOT comparable
+    to published Inception-FID values (e.g. the reference's CIFAR-10 3.5,
+    BASELINE.md)."""
+    notes = []
+    if features != "inception":
+        notes.append(f"{features} features (no pretrained Inception "
+                     "weights in this environment)")
+    if synthetic_data:
+        notes.append("synthetic-fallback dataset (no real data in this "
+                     "environment)")
+    if not notes:
+        return {"fid_comparable_to_published": True}
+    return {
+        "fid_comparable_to_published": False,
+        "fid_note": (", ".join(notes) + ": self-consistent across runs "
+                     "of this framework, NOT comparable to published "
+                     "Inception-FID values (see tpu_diffusion/eval/fid.py; "
+                     "import real weights with "
+                     "scripts/import_inception_weights.py)"),
+    }
+
+
 def make_feature_fn(kind: str = "random_conv", image_size: int = 32,
                     channels: int = 3, weights_path: Optional[str] = None
                     ) -> Callable[[Array], Array]:

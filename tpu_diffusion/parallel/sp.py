@@ -105,14 +105,43 @@ def sequence_parallel_attention(q: Array, k: Array, v: Array, mesh: Mesh,
     return fn(q, k, v)
 
 
+# Trace-time engagement log: every maybe_sequence_parallel decision is
+# recorded here so harness code (the multichip dryrun, tests) can ASSERT
+# the SP path actually engaged instead of silently falling back to dense
+# attention (r3 verdict "what's weak" item 3). Trace-time is the right
+# hook — if the ring traced, its ppermute collectives are in the compiled
+# program; a cached jit that never retraces also never re-falls-back.
+_DECISIONS: list = []
+
+
+def reset_sp_decisions() -> None:
+    _DECISIONS.clear()
+
+
+def sp_decisions() -> list:
+    """List of dicts {engaged, tokens, axis_size, reason} in trace order."""
+    return list(_DECISIONS)
+
+
 def maybe_sequence_parallel(q: Array, k: Array, v: Array,
                             mesh: Optional[Mesh],
                             axis: str = MODEL_AXIS):
     """Route to ring attention when a mesh with a >1 `axis` is given and
     the token count divides; return None otherwise (caller falls back to
-    its local attention implementation)."""
+    its local attention implementation). Every decision is recorded in
+    `sp_decisions()` for engagement assertions."""
     if mesh is None or axis not in mesh.shape or mesh.shape[axis] <= 1:
+        _DECISIONS.append({"engaged": False, "tokens": int(q.shape[-2]),
+                           "axis_size": 0 if mesh is None
+                           else int(mesh.shape.get(axis, 0)),
+                           "reason": "no mesh axis"})
         return None
     if q.shape[-2] % mesh.shape[axis]:
+        _DECISIONS.append({"engaged": False, "tokens": int(q.shape[-2]),
+                           "axis_size": int(mesh.shape[axis]),
+                           "reason": "tokens not divisible by axis"})
         return None
+    _DECISIONS.append({"engaged": True, "tokens": int(q.shape[-2]),
+                       "axis_size": int(mesh.shape[axis]),
+                       "reason": "ring"})
     return sequence_parallel_attention(q, k, v, mesh, axis)

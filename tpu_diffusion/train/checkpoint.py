@@ -56,6 +56,26 @@ class CheckpointManager:
         self._mgr.close()
 
 
+def load_pretrained(path: str) -> Optional[PyTree]:
+    """Restore the newest checkpoint under `path` as a raw pytree (no
+    target structure) for warm-starting — the bootstrap half of the
+    reference's `model_path` table (experiments/config.py:159-167 feeding
+    load_matching_weights). Returns None when no checkpoint exists."""
+    path = os.path.abspath(path)
+    if not os.path.isdir(path):
+        return None
+    mgr = ocp.CheckpointManager(
+        path, options=ocp.CheckpointManagerOptions(
+            create=False, enable_async_checkpointing=False))
+    try:
+        step = mgr.latest_step()
+        if step is None:
+            return None
+        return mgr.restore(step, args=ocp.args.StandardRestore())
+    finally:
+        mgr.close()
+
+
 def load_matching_params(params, loaded, verbose: bool = False):
     """Shape-matched partial parameter load.
 

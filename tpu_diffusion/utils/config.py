@@ -14,6 +14,51 @@ LIKELIHOODS = ("inpainting", "outpainting", "hyperresolution", "none")
 CONDITIONINGS = ("amortized", "reconstruction_guidance", "replacement",
                  "none")
 
+# Pretrained-weight bootstrap table (reference experiments/config.py:7-35):
+# (dataset, conditioning[, likelihood]) -> orbax checkpoint directory to
+# warm-start from. Amortized nets depend on the likelihood (the condition
+# channels are baked into conv_in); guidance/replacement share one
+# unconditional net per dataset. Paths are orbax run dirs (the reference
+# uses .pth files); missing entries warm-start nothing, matching the
+# reference's empty-model_path fallback (config.py:159-167).
+PRETRAINED_WEIGHTS = {
+    "mnist": {
+        "amortized": {
+            "inpainting": "weights/mnist_ddpm_unconditional",
+            "outpainting": "weights/mnist_ddpm_unconditional",
+        },
+        "reconstruction_guidance": "weights/mnist_ddpm_unconditional",
+        "replacement": "weights/mnist_ddpm_unconditional",
+    },
+    "flowers": {
+        "amortized": {
+            "inpainting": "weights/flowers_inpainting_amortized",
+            "outpainting": "weights/flowers_outpainting_amortized",
+        },
+        "reconstruction_guidance": "weights/flowers_ddpm_unconditional",
+        "replacement": "weights/flowers_ddpm_unconditional",
+    },
+    "celeba": {
+        "amortized": {
+            "inpainting": "weights/celeba_inpainting_amortized",
+            "outpainting": "weights/celeba_outpainting_amortized",
+        },
+        "reconstruction_guidance": "weights/celeba_ddpm_unconditional",
+        "replacement": "weights/celeba_ddpm_unconditional",
+    },
+}
+
+
+def pretrained_weights_path(dataset: str, likelihood: str,
+                            conditioning: str) -> str:
+    """Lookup the warm-start checkpoint path; "" when none is registered
+    (reference experiments/config.py:159-167)."""
+    entry = PRETRAINED_WEIGHTS.get(dataset, {})
+    if conditioning == "amortized":
+        return entry.get("amortized", {}).get(likelihood, "")
+    val = entry.get(conditioning, "")
+    return val if isinstance(val, str) else ""
+
 
 def _dataset_config(name: str) -> ml_collections.ConfigDict:
     """Dataset geometry (reference config.py:56-72)."""
@@ -117,6 +162,10 @@ def get_config(spec: str = "mnist,inpainting,amortized"
     config.likelihood = _likelihood_config(likelihood, dataset)
     config.conditioning = _conditioning_config(conditioning)
     config.network = _network_config(dataset)
+    # warm-start checkpoint (orbax dir; "" = train from scratch). Resolved
+    # from PRETRAINED_WEIGHTS; overridable via --override network.model_path
+    config.network.model_path = pretrained_weights_path(
+        dataset, likelihood, conditioning)
 
     # training (reference config.py:172-179)
     config.training = ml_collections.ConfigDict()
