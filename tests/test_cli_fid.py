@@ -12,6 +12,9 @@ from tpu_diffusion.eval.fid import (FID, compute_statistics,
                                     frechet_distance, make_feature_fn)
 from tpu_diffusion.eval.metrics import psnr, ssim
 
+# end-to-end / multiprocess module: excluded from the fast lane (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def test_frechet_distance_zero_for_identical():
     rng = np.random.default_rng(0)

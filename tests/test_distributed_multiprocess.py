@@ -20,6 +20,10 @@ from tpu_diffusion.parallel.distributed import (host_local_to_global,
                                                 initialize_distributed,
                                                 process_batch_slice)
 from tpu_diffusion.parallel.mesh import make_mesh
+import pytest
+
+# end-to-end / multiprocess module: excluded from the fast lane (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 active = initialize_distributed()
 assert active, "distributed init returned False under 2-process env"

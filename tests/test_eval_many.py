@@ -3,9 +3,14 @@ evaluation_pipeline.py:104-130), thread pool, and auto selection."""
 
 import numpy as np
 
+import pytest
+
 from tpu_diffusion.protein.evaluate import (DEFAULT_STAGES,
                                             EvaluationPipeline,
                                             make_novelty_stage)
+
+# end-to-end / multiprocess module: excluded from the fast lane (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 
 def _chains(n, seed=0):

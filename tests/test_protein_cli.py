@@ -4,6 +4,10 @@ import json
 import os
 
 import numpy as np
+import pytest
+
+# end-to-end / multiprocess module: excluded from the fast lane (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 
 def test_protein_pipeline_end_to_end(tmp_path):

@@ -13,6 +13,9 @@ from tpu_diffusion.sampling.sde import (euler_maruyama, predictor_corrector,
                                         probability_flow,
                                         reverse_sde_sampler_from_eps)
 
+# end-to-end / multiprocess module: excluded from the fast lane (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 # --- SDE samplers with the exact Gaussian score ------------------------------
 
 

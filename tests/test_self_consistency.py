@@ -22,6 +22,9 @@ from tpu_diffusion.protein.self_consistency import (
     process_af2_output, proteinmpnn_scores, run_proteinmpnn_eval,
     self_consistency_eval, untokenise, write_seqs_csv)
 
+# end-to-end / multiprocess module: excluded from the fast lane (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def helix(n):
     i = np.arange(n, dtype=np.float64)

@@ -20,6 +20,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+# end-to-end / multiprocess module: excluded from the fast lane (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 tnn = torch.nn
 F = torch.nn.functional

@@ -150,6 +150,7 @@ def test_local_writer_csv_and_images(tmp_path):
     assert any(f.startswith("samples") for f in files)
 
 
+@pytest.mark.slow
 def test_cli_main_tiny_end_to_end(tmp_path):
     """The flagship CLI on a tiny config: train a few steps + eval;
     results.json written; loss finite."""
@@ -175,6 +176,7 @@ def test_cli_main_tiny_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(workdir, "metrics.csv"))
 
 
+@pytest.mark.slow
 def test_cli_main_fid_flag(tmp_path):
     """testing.fid=True adds a finite fid to results.json."""
     from tpu_diffusion.cli import main as cli_main
@@ -269,6 +271,7 @@ def test_pretrained_weights_lookup_table():
     assert cfg.network.model_path == "weights/mnist_ddpm_unconditional"
 
 
+@pytest.mark.slow
 def test_cli_main_warmstart_from_pretrained(tmp_path):
     """network.model_path bootstraps params from a saved checkpoint via
     load_matching_params (reference load_matching_weights integration)."""

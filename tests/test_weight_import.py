@@ -22,6 +22,9 @@ import test_torch_crossval as tc  # noqa: E402  (torch mirrors)
 sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/scripts")
 import import_inception_weights as iw  # noqa: E402
 
+# end-to-end / multiprocess module: excluded from the fast lane (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def _randomize_torch_inception(tmodel, seed=0):
     """Random conv weights + NON-TRIVIAL bn (gamma incl. negative channels,

@@ -64,14 +64,21 @@ def _group_onehot(c: int, groups: int, transpose: bool = False):
     return (ch // (c // groups) == grp).astype(jnp.float32)
 
 
-def _groupnorm_f32(xf: Array, gamma: Array, beta: Array, groups: int,
-                   eps: float) -> Array:
-    """fp32 GroupNorm over a [B, T, C] slab (stats per image per group)."""
+def _silu(v: Array) -> Array:
+    """SiLU with an explicit fp32 sigmoid: Mosaic's logistic lowering on a
+    bf16 vector emits an invalid f32->bf16 vector.broadcast (verifier
+    error 'source operand and result have same element type')."""
+    sig = 1.0 / (1.0 + jnp.exp(-v.astype(jnp.float32)))
+    return v * sig.astype(v.dtype)
+
+
+def _gn_stats(xf: Array, groups: int, eps: float):
+    """Per-image per-group mean / rstd broadcast back to channels, fp32.
+    xf: [B, T, C] (any float dtype; sums accumulate fp32 on the MXU)."""
     b, t, c = xf.shape
-    gsize = c // groups
-    n = t * gsize
-    s1 = jnp.sum(xf, axis=1)                            # [B, C]
-    s2 = jnp.sum(xf * xf, axis=1)                       # [B, C]
+    n = t * (c // groups)
+    s1 = jnp.sum(xf.astype(jnp.float32), axis=1)        # [B, C]
+    s2 = jnp.sum(jnp.square(xf.astype(jnp.float32)), axis=1)
     oh = _group_onehot(c, groups)
     g1 = jax.lax.dot_general(s1, oh, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -85,6 +92,13 @@ def _groupnorm_f32(xf: Array, gamma: Array, beta: Array, groups: int,
                                  preferred_element_type=jnp.float32)
     rstd_c = jax.lax.dot_general(rstd_g, oh_t, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+    return mean_c, rstd_c                               # [B, C] each
+
+
+def _groupnorm_f32(xf: Array, gamma: Array, beta: Array, groups: int,
+                   eps: float) -> Array:
+    """fp32 GroupNorm over a [B, T, C] slab (stats per image per group)."""
+    mean_c, rstd_c = _gn_stats(xf, groups, eps)
     y = (xf - mean_c[:, None, :]) * rstd_c[:, None, :]
     return y * gamma[None, None, :] + beta[None, None, :]
 
@@ -92,16 +106,39 @@ def _groupnorm_f32(xf: Array, gamma: Array, beta: Array, groups: int,
 def _conv3x3(y: Array, w: Array, bias: Array, compute_dtype) -> Array:
     """SAME 3x3 conv over a resident [B, H, W, Cin] slab as 9 shifted
     matmuls (cross-correlation, flax nn.Conv orientation). Returns fp32
-    [B, H*W, Cout]."""
+    [B, H*W, Cout].
+
+    The shifts are token-axis shifts of the FLAT [B*H*W, Cin] slab
+    (static slice + zero-block concat — both plain Mosaic ops) with iota
+    boundary masks killing the rows that crossed an image/row edge —
+    everything stays 2D: sublane shift + VPU mask + MXU matmul. The first
+    version built a zero-padded 4D slab and took 9 strided 4D
+    slice+reshapes, which Mosaic turned into relayout copies."""
     b, h, wd, cin = y.shape
     cout = w.shape[-1]
-    yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    acc = jnp.zeros((b * h * wd, cout), jnp.float32)
+    m = b * h * wd
+    yflat = y.reshape(m, cin)
+    # token coordinates (y = t//W mod H, x = t mod W), 2D iota
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    yy = (t_idx // wd) % h
+    xx = t_idx % wd
+    acc = jnp.zeros((m, cout), jnp.float32)
+    zero_row = jnp.zeros((abs(wd) + 1, cin), yflat.dtype)
     for ky in range(3):
         for kx in range(3):
-            sl = yp[:, ky:ky + h, kx:kx + wd, :].reshape(b * h * wd, cin)
+            dy, dx = ky - 1, kx - 1
+            d = dy * wd + dx            # out[t] reads in[t + d]
+            if d > 0:
+                shifted = jnp.concatenate([yflat[d:], zero_row[:d]], 0)
+            elif d < 0:
+                shifted = jnp.concatenate([zero_row[:-d], yflat[:m + d]], 0)
+            else:
+                shifted = yflat
+            valid = ((yy + dy >= 0) & (yy + dy < h)
+                     & (xx + dx >= 0) & (xx + dx < wd))
+            shifted = jnp.where(valid, shifted, 0).astype(compute_dtype)
             acc = acc + jax.lax.dot_general(
-                sl.astype(compute_dtype), w[ky, kx].astype(compute_dtype),
+                shifted, w[ky, kx].astype(compute_dtype),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
     return (acc + bias.astype(jnp.float32)[None, :]).reshape(b, h * wd,
@@ -116,46 +153,60 @@ def _resblock_kernel(x_ref, gn1_g_ref, gn1_b_ref, w1_ref, b1_ref,
     x = x_ref[...]                                       # [Bb, H, W, Cin]
     bb, h, w, cin = x.shape
     cout = w1_ref.shape[-1]
-    xf = x.astype(jnp.float32).reshape(bb, h * w, cin)
+    cd = compute_dtype
+    xflat = x.reshape(bb, h * w, cin)
 
-    y = _groupnorm_f32(xf, gn1_g_ref[...].astype(jnp.float32),
-                       gn1_b_ref[...].astype(jnp.float32), groups1, eps)
-    y = y * jax.nn.sigmoid(y)                            # SiLU
-    y = y.astype(compute_dtype).reshape(bb, h, w, cin)
+    # GN1 + SiLU: fp32 statistics (MXU-accumulated), compute-dtype
+    # normalize/activation — the same contract as GroupNorm32 with
+    # norm_dtype=bf16 (fp32 stats, bf16 elementwise), at half the VPU
+    # traffic of the first all-fp32 kernel version.
+    mean_c, rstd_c = _gn_stats(xflat, groups1, eps)
+    g1w = (gn1_g_ref[...].astype(jnp.float32) * rstd_c).astype(cd)
+    g1b = (gn1_b_ref[...].astype(jnp.float32)
+           - gn1_g_ref[...].astype(jnp.float32) * rstd_c * mean_c
+           ).astype(cd)                                  # [Bb, Cin] each
+    y = xflat.astype(cd) * g1w[:, None, :] + g1b[:, None, :]
+    y = _silu(y)
+    y = y.astype(cd).reshape(bb, h, w, cin)
 
     hmid = _conv3x3(y, w1_ref[...], b1_ref[...], compute_dtype)  # [Bb,T,Co]
 
-    # FiLM vectors arrive FULL ([B, Cout] — tiny) and are row-sliced here:
-    # a (block_batch, Cout) BlockSpec violates the 8-sublane tiling rule
-    # whenever block_batch < 8
-    row0 = pl.program_id(0) * bb
-    emb_a = emb_a_ref[pl.ds(row0, bb), :].astype(jnp.float32)  # [Bb, Cout]
-    emb_b = emb_b_ref[pl.ds(row0, bb), :].astype(jnp.float32)
-    if scale_shift:
-        h2 = _groupnorm_f32(hmid, gn2_g_ref[...].astype(jnp.float32),
-                            gn2_b_ref[...].astype(jnp.float32), groups2,
-                            eps)
-        h2 = h2 * emb_a[:, None, :] + emb_b[:, None, :]
-    else:
+    # FiLM vectors arrive as [B/Bb, Bb, Cout] with a (1, Bb, Cout) block:
+    # a flat (Bb, Cout) BlockSpec violates the 8-sublane tiling rule when
+    # Bb < 8, and a dynamic row-slice of a full VMEM ref crashed the
+    # Mosaic compile helper outright; the leading-grid-dim reshape keeps
+    # the last two block dims equal to the array dims (always legal).
+    emb_a = emb_a_ref[0].astype(jnp.float32)                   # [Bb, Cout]
+    emb_b = emb_b_ref[0].astype(jnp.float32)
+    # GN2 (+FiLM): fold gamma/rstd/FiLM-scale into ONE per-(image,channel)
+    # affine so the [Bb, T, Cout] slab sees a single multiply-add pass
+    gamma2 = gn2_g_ref[...].astype(jnp.float32)
+    beta2 = gn2_b_ref[...].astype(jnp.float32)
+    if not scale_shift:
         hmid = hmid + emb_b[:, None, :]
-        h2 = _groupnorm_f32(hmid, gn2_g_ref[...].astype(jnp.float32),
-                            gn2_b_ref[...].astype(jnp.float32), groups2,
-                            eps)
-    h2 = h2 * jax.nn.sigmoid(h2)
-    h2 = h2.astype(compute_dtype).reshape(bb, h, w, cout)
+    mean2, rstd2 = _gn_stats(hmid, groups2, eps)
+    scale2 = gamma2 * rstd2                              # [Bb, Cout]
+    shift2 = beta2 - scale2 * mean2
+    if scale_shift:
+        shift2 = shift2 * emb_a + emb_b
+        scale2 = scale2 * emb_a
+    h2 = hmid.astype(cd) * scale2.astype(cd)[:, None, :] \
+        + shift2.astype(cd)[:, None, :]
+    h2 = _silu(h2)
+    h2 = h2.astype(cd).reshape(bb, h, w, cout)
 
     out = _conv3x3(h2, w2_ref[...], b2_ref[...], compute_dtype)  # fp32
 
     if has_skip:
         skip = jax.lax.dot_general(
-            xf.reshape(bb * h * w, cin).astype(compute_dtype),
-            wskip_ref[...].astype(compute_dtype),
+            xflat.reshape(bb * h * w, cin).astype(cd),
+            wskip_ref[...].astype(cd),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         skip = (skip + bskip_ref[...].astype(jnp.float32)[None, :]
                 ).reshape(bb, h * w, cout)
     else:
-        skip = xf
+        skip = xflat.astype(jnp.float32)
     o_ref[...] = (skip + out).astype(o_ref.dtype).reshape(bb, h, w, cout)
 
 
@@ -170,16 +221,20 @@ def pick_block_batch(batch: int, h: int, w: int, cin: int, cout: int,
                      budget: int = _VMEM_BUDGET) -> Optional[int]:
     """Largest divisor of `batch` whose kernel working set fits VMEM;
     None when even one image does not fit (caller must fall back)."""
-    per_img = ((h + 2) * (w + 2) * max(cin, cout) * 2    # padded slab bf16
+    per_img = ((h + 2) * (w + 2) * max(cin, cout) * 2    # shifted slab bf16
                + h * w * cout * 4                        # fp32 accumulator
                + 2 * h * w * (cin + cout) * 2            # in+out, 2x-buffered
-               + h * w * max(cin, cout) * 4)             # fp32 norm temp
+               + h * w * max(cin, cout) * 2)             # norm temp (bf16)
     # grid operands are double-buffered by the Pallas pipeline; weights use
     # a constant index_map but budget 2x anyway (measured: the analytic
     # estimate ran 1.75M over the 16M scoped-vmem limit without it)
     weights = 2 * (9 * cin * cout + 9 * cout * cout + cin * cout) * 2
     for bb in range(batch, 0, -1):
-        if batch % bb == 0 and bb * per_img + weights <= budget:
+        # bb*H*W <= 2048: Mosaic's compile time/memory explodes past
+        # ~2048-row slabs (the 32x32 bb=4 kernel reproducibly crashed the
+        # compile helper; bb=2 compiles in seconds)
+        if (batch % bb == 0 and bb * per_img + weights <= budget
+                and bb * h * w <= 2048):
             return bb
     return None
 
@@ -221,6 +276,10 @@ def fused_resblock(x: Array, gn1_scale: Array, gn1_bias: Array,
         bskip = jnp.zeros((cout,), x.dtype)
 
     grid = (b // block_batch,)
+    emb_scale = emb_scale.reshape(b // block_batch, block_batch, cout)
+    emb_shift = emb_shift.reshape(b // block_batch, block_batch, cout)
+    emb_spec = pl.BlockSpec((1, block_batch, cout), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
     full = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     batched4 = pl.BlockSpec((block_batch, h, w, cin), lambda i: (i, 0, 0, 0),
@@ -241,7 +300,7 @@ def fused_resblock(x: Array, gn1_scale: Array, gn1_bias: Array,
             full(cin), full(cin),                        # gn1
             full(3, 3, cin, cout), full(cout),           # conv1
             full(cout), full(cout),                      # gn2
-            full(b, cout), full(b, cout),                # emb a/b (full)
+            emb_spec, emb_spec,                          # emb a/b
             full(3, 3, cout, cout), full(cout),          # conv2
             full(*wskip.shape), full(*bskip.shape),      # skip 1x1
         ],

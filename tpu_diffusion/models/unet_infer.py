@@ -73,13 +73,18 @@ class FusedUNetInference:
     need, but use the flax module for training)."""
 
     def __init__(self, model: UNetModel, params, *, resblock: str = "pallas",
-                 interpret: bool = False):
+                 interpret: bool = False, kernel_min_tokens: int = 1024):
         assert not model.resblock_updown, "resblock up/down not supported"
         assert model.num_classes is None, "class-conditional: use flax path"
         self.m = model
         self.p = params["params"] if "params" in params else params
         self.resblock = resblock
         self.interpret = interpret
+        # measured crossover (PERF.md r4): the megakernel wins ~1.5x at
+        # 32x32 slabs (per-image traffic dominates) but loses to XLA's
+        # cross-block fusions at deeper/smaller levels — the kernel
+        # engages only at >= kernel_min_tokens spatial positions. 0 = all.
+        self.kernel_min_tokens = kernel_min_tokens
         self.attn_ds = tuple(model.attention_resolutions)
 
     # -- blocks ------------------------------------------------------------
@@ -99,6 +104,7 @@ class FusedUNetInference:
         bskip = skip["bias"] if skip else None
         b, hh, ww, cin = h.shape
         use_kernel = (self.resblock == "pallas"
+                      and hh * ww >= self.kernel_min_tokens
                       and pick_block_batch(b, hh, ww, cin, cout) is not None)
         fn = fused_resblock if use_kernel else _resblock_jnp
         kw = {"interpret": self.interpret} if use_kernel else {}
@@ -190,8 +196,9 @@ def _resblock_jnp(h, gn1s, gn1b, w1, b1, gn2s, gn2b, ea, eb, w2, b2,
 
 
 def make_fused_apply(model: UNetModel, params, *, resblock: str = "pallas",
-                     interpret: bool = False):
+                     interpret: bool = False, kernel_min_tokens: int = 1024):
     """(model, params) -> fn(x, t, mode=..., cache=...) matching
     `model.apply(params, x, t, ...)` — drop-in for samplers."""
     return FusedUNetInference(model, params, resblock=resblock,
-                              interpret=interpret)
+                              interpret=interpret,
+                              kernel_min_tokens=kernel_min_tokens)
