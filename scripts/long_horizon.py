@@ -98,10 +98,17 @@ def main(argv=None):
 
     losses = []
     t0 = time.monotonic()
-    trainer = Trainer(train_step, state, batches, mesh=mesh, callbacks=[])
-    state = trainer.fit(
-        seg_steps,
-        metrics_hook=lambda s, m: losses.append((s, m["loss"])))
+    # sample the loss every 50 steps via a PeriodicCallback: a metrics_hook
+    # fires EVERY step and each firing converts device metrics to floats,
+    # serializing dispatch on this backend (~28 ms/step of host reads)
+    from tpu_diffusion.train.actions import PeriodicCallback
+    rec = PeriodicCallback(
+        callback_fn=lambda step, metrics, **kw:
+            losses.append((step, float(metrics["loss"]))),
+        every_steps=50)
+    trainer = Trainer(train_step, state, batches, mesh=mesh,
+                      callbacks=[rec])
+    state = trainer.fit(seg_steps)
     seg_secs = time.monotonic() - t0
     end_step = int(state.step)
 
@@ -117,7 +124,7 @@ def main(argv=None):
                      and sum(jax.tree.leaves(deltas)) == 0)
 
     arr = np.asarray([l for _, l in losses], np.float64)
-    tail_median = float(np.median(arr[-200:]))
+    tail_median = float(np.median(arr[-40:]))
     summary = {
         "start_step": start_step, "end_step": end_step,
         "steps_per_sec": round(seg_steps / seg_secs, 3),

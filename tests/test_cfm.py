@@ -189,6 +189,7 @@ def test_host_ot_pairs_worker_stops_when_abandoned():
     assert len(consumed) == n  # source iterator no longer being drained
 
 
+@pytest.mark.slow
 def test_paired_cfm_loss_trains_one_step():
     # The otcfm --ot_method exact recipe: host pairs feed a jitted step
     # that contains no callbacks (runs on any backend).

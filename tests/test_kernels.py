@@ -88,6 +88,7 @@ def test_fused_groupnorm_film_matches_reference():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_unet_fused_norm_matches_xla(monkeypatch):
     """The whole UNet agrees between norm_impl settings (params re-mapped:
     the fused module holds scale/bias one level shallower)."""
@@ -241,6 +242,7 @@ def test_fused_resblock_matches_flax_module():
                                atol=2e-6, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_unet_inference_matches_model_apply():
     """The param-tree inference engine == model.apply on the full UNet,
     including encode/decode cache modes (models/unet_infer.py)."""

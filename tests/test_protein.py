@@ -176,6 +176,7 @@ def test_denoiser_output_shape_and_com_free(tiny_denoiser):
                                atol=1e-3)
 
 
+@pytest.mark.slow
 def test_denoiser_remat_matches_plain(tiny_denoiser):
     """remat=True must be a pure memory/compute trade: same param tree,
     same outputs, same gradients as the plain model."""

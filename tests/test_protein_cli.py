@@ -121,3 +121,36 @@ def test_training_stats_cache_and_comparison(tmp_path):
     assert np.isfinite(comp["radius_of_gyration_w1_vs_train"])
     summ = summarize(sample_rows)
     assert "sheet_proportion_mean" in summ and "ca_distance_mean_std" in summ
+
+
+def test_motif_rmsd_table_exact_and_rotated(tmp_path):
+    """scripts/motif_acceptance.py: RMSD 0 for a planted motif, invariant
+    to rototranslation (Kabsch), correct valid-index handling."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import motif_acceptance as ma
+
+    rng = np.random.default_rng(0)
+    motif = rng.normal(size=(8, 3)).astype(np.float32) * 3
+    idx = np.arange(40, 48)
+    # sample 0: motif planted verbatim
+    c0 = rng.normal(size=(80, 3)).astype(np.float32) * 5
+    c0[idx] = motif
+    # sample 1: motif planted rotated + translated (Kabsch must zero it)
+    th = 0.7
+    rot = np.array([[np.cos(th), -np.sin(th), 0],
+                    [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+    c1 = rng.normal(size=(100, 3)).astype(np.float32) * 5
+    c1[idx] = motif @ rot.T + np.array([1.0, -2.0, 3.0], np.float32)
+    # sample 2: too short for the motif indices -> skipped
+    c2 = rng.normal(size=(20, 3)).astype(np.float32)
+    d = tmp_path / "samples"
+    d.mkdir()
+    np.save(d / "sample_0000.npy", c0)
+    np.save(d / "sample_0001.npy", c1)
+    np.save(d / "sample_0002.npy", c2)
+    table = ma.motif_rmsd_table(str(d), motif, idx)
+    assert table["n"] == 2
+    assert table["rmsd_median"] < 1e-4
+    assert table["frac_under_1A"] == 1.0

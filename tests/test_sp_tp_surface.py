@@ -55,6 +55,7 @@ def _one_step(model_axis: int, sequence_parallel: bool):
     return losses[0], params_out
 
 
+@pytest.mark.slow
 def test_tp_sp_step_matches_replicated():
     loss_dp, params_dp = _one_step(model_axis=1, sequence_parallel=False)
     loss_tp, params_tp = _one_step(model_axis=2, sequence_parallel=True)
@@ -67,6 +68,7 @@ def test_tp_sp_step_matches_replicated():
         np.testing.assert_allclose(a, b, atol=5e-3, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_cfm_cli_accepts_sp_tp_flags(tmp_path):
     from tpu_diffusion.cli.train_cfm_conditional import main
     main(["--task", "superres", "--dataset", "mnist", "--model", "icfm",
@@ -78,6 +80,7 @@ def test_cfm_cli_accepts_sp_tp_flags(tmp_path):
           "--output_dir", str(tmp_path)])
 
 
+@pytest.mark.slow
 def test_experiment_config_knobs_reach_model_and_trainer():
     """cli/main.build honors network.sequence_parallel; the Trainer call
     passes tensor_parallel from mesh.model_axis (source-level contract)."""
@@ -107,6 +110,7 @@ def _per_device_param_bytes(params, device):
     return total
 
 
+@pytest.mark.slow
 def test_tp_reduces_per_device_param_memory():
     """The point of mesh.model_axis > 1 (SURVEY §5.8): parameters shard
     over the model axis, so each device holds measurably less than the

@@ -50,6 +50,7 @@ def test_ema_update_every_gating():
     np.testing.assert_allclose(st.params["w"], 0.5)  # count=2, applied
 
 
+@pytest.mark.slow
 def test_synthetic_datasets_and_registry():
     for name, (h, c) in [("mnist", (28, 1)), ("cifar10", (32, 3)),
                          ("flowers", (64, 3)), ("celeba", (64, 3))]:
