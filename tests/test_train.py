@@ -315,3 +315,115 @@ def test_cli_main_warmstart_from_pretrained(tmp_path):
     diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
              for a, b in zip(jax.tree.leaves(state2.params), want)]
     assert max(diffs) > 0
+
+
+# --- device-resident data pipeline + scanned trainer (round 4) ---
+
+def _scanned_setup():
+    """Toy regression with an on-device batch sampler."""
+    w_true = jnp.array([1.5, -2.0])
+
+    def loss_fn(params, key, batch):
+        pred = batch @ params["w"]
+        return jnp.mean((pred - batch @ w_true) ** 2)
+
+    tx = make_optimizer(1e-1, warmup=0, grad_clip=1.0, schedule="constant")
+    params = {"w": jnp.zeros(2)}
+    state = TrainState.create(params, tx, jax.random.PRNGKey(0))
+    step = make_train_step(loss_fn, tx, ema_decay=0.9)
+
+    def sample_batch(key):
+        return jax.random.normal(key, (16, 2))
+
+    return step, state, sample_batch
+
+
+def test_fit_scanned_chunk_invariant():
+    """The batch stream is fold_in(base_key, global_step): the final state
+    must be bitwise identical for any chunking of the same step count."""
+    mesh = make_mesh()
+    base = jax.random.PRNGKey(42)
+    finals = []
+    for chunk in (8, 4, 3):       # 3 exercises the tail-chunk recompile
+        step, state, sample = _scanned_setup()
+        tr = Trainer(step, state, iter(()), mesh=mesh)
+        finals.append(tr.fit_scanned(8, sample, chunk=chunk,
+                                     base_key=base))
+    for other in finals[1:]:
+        assert int(other.step) == 8
+        for a, b in zip(jax.tree.leaves(finals[0].params),
+                        jax.tree.leaves(other.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_scanned_resume_exact():
+    """Stopping after 4 steps and resuming from the carried state replays
+    the identical stream (keys derive from state.step, not host position)."""
+    mesh = make_mesh()
+    base = jax.random.PRNGKey(7)
+    step, state, sample = _scanned_setup()
+    full = Trainer(step, state, iter(()), mesh=mesh).fit_scanned(
+        8, sample, chunk=4, base_key=base)
+
+    step2, state2, _ = _scanned_setup()
+    tr = Trainer(step2, state2, iter(()), mesh=mesh)
+    mid = tr.fit_scanned(4, sample, chunk=4, base_key=base)
+    resumed = Trainer(step2, mid, iter(()), mesh=mesh).fit_scanned(
+        4, sample, chunk=4, base_key=base)
+    for a, b in zip(jax.tree.leaves(full.params),
+                    jax.tree.leaves(resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_scanned_trains_and_reports_traces():
+    mesh = make_mesh()
+    step, state, sample = _scanned_setup()
+    rows = []
+    tr = Trainer(step, state, iter(()), mesh=mesh)
+    final = tr.fit_scanned(40, sample, chunk=10,
+                           metrics_hook=lambda s, m: rows.append((s, m)))
+    assert int(final.step) == 40
+    assert [s for s, _ in rows] == [10, 20, 30, 40]
+    assert rows[0][1]["loss_trace"].shape == (10,)
+    assert rows[-1][1]["loss"] < rows[0][1]["loss_trace"][0] * 0.5
+
+
+def test_device_cache_sample_batch_and_flip():
+    from tpu_diffusion.data.device_cache import sample_batch, stage
+    from tpu_diffusion.data.registry import synthetic_images
+
+    mesh = make_mesh()
+    ds = synthetic_images(32, 8, 8, 1, 4, seed=3)
+    images = stage(ds.images, mesh)
+    key = jax.random.PRNGKey(0)
+    b1 = jax.jit(lambda k: sample_batch(images, k, 8, flip=False,
+                                        mesh=mesh))(key)
+    assert b1.shape == (8, 8, 8, 1) and b1.dtype == jnp.float32
+    # every sampled row is a dataset row
+    flat = np.asarray(images).reshape(32, -1)
+    for row in np.asarray(b1).reshape(8, -1):
+        assert (np.abs(flat - row).max(1) < 1e-6).any()
+    # same key -> same batch; flip produces rows that are flips of rows
+    b1b = jax.jit(lambda k: sample_batch(images, k, 8, mesh=mesh))(key)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b1b))
+    bf = np.asarray(sample_batch(images, key, 64, flip=True))
+    both = np.concatenate([flat, flat.reshape(32, 8, 8)[:, :, ::-1]
+                           .reshape(32, -1)])
+    for row in bf.reshape(64, -1):
+        assert (np.abs(both - row).max(1) < 1e-6).any()
+
+
+def test_device_cache_cfm_pair_sampler_couples():
+    """Sinkhorn coupling must beat the independent coupling on mean
+    pair distance (that is its entire purpose)."""
+    from tpu_diffusion.data.device_cache import (make_cfm_pair_sampler,
+                                                 stage)
+    from tpu_diffusion.data.registry import synthetic_images
+
+    ds = synthetic_images(64, 8, 8, 1, 4, seed=0)
+    images = stage(ds.images)
+    key = jax.random.PRNGKey(5)
+    paired = jax.jit(make_cfm_pair_sampler(images, 32, ot="sinkhorn"))
+    indep = jax.jit(make_cfm_pair_sampler(images, 32, ot=None))
+    d = lambda xy: float(jnp.mean(jnp.sum((xy[0] - xy[1]) ** 2, (1, 2, 3))))
+    assert d(paired(key)) < d(indep(key))

@@ -135,6 +135,8 @@ class Trainer:
             donate_argnums=(0,) if donate else (),
         )
         self._batches = batches
+        self._raw_step = train_step
+        self._state_sh = state_sh
 
     def fit(self, num_steps: int,
             metrics_hook: Optional[Callable[[int, Dict], None]] = None
@@ -169,4 +171,70 @@ class Trainer:
                     cb(step, state=self.state, metrics=m, _fire=d)
                 else:
                     cb(step, state=self.state, metrics=m)
+        return self.state
+
+    def fit_scanned(self, num_steps: int, sample_batch: Callable,
+                    chunk: int = 100, base_key: Optional[Array] = None,
+                    metrics_hook: Optional[Callable[[int, Dict], None]]
+                    = None) -> TrainState:
+        """TPU-native fit: `lax.scan` over `chunk` steps per dispatch with
+        an on-device batch sampler — zero per-step host->device traffic.
+
+        `fit()` pays one dispatch RPC plus a full batch transfer through
+        the host tunnel every step (measured at ~0.5 s/step against the
+        61 ms/step the device sustains — PERF.md round 4); here the data
+        lives in HBM (`data.device_cache.stage`) and `sample_batch(key) ->
+        batch` is a pure jittable function, so one dispatch covers `chunk`
+        steps and the only host traffic is the per-chunk loss trace read
+        (which doubles as dispatch throttling, bounding host memory).
+
+        The per-step PRNG key is `fold_in(base_key, global_step)`, making
+        the batch stream a pure function of (base_key, step) — invariant
+        to `chunk` and exactly reproducible across resume boundaries
+        (pinned by tests/test_trainer.py). Callbacks fire once per chunk
+        with the full `loss_trace`/`grad_norm_trace` arrays in `metrics`,
+        so an every-N recorder sees no coarser data than `fit()` gave it.
+        """
+        if base_key is None:
+            base_key = jax.random.PRNGKey(0)
+        base_key = jax.device_put(base_key)
+        step0 = int(self.state.step)
+
+        def chunk_body(state, i):
+            batch = sample_batch(jax.random.fold_in(base_key, i))
+            state, metrics = self._raw_step(state, batch)
+            return state, (metrics["loss"], metrics["grad_norm"])
+
+        compiled = {}
+
+        def chunk_fn(k: int):
+            if k not in compiled:
+                def run(state, first_step):
+                    idx = first_step + jnp.arange(k, dtype=jnp.int32)
+                    return jax.lax.scan(chunk_body, state, idx)
+                compiled[k] = jax.jit(
+                    run, in_shardings=(self._state_sh, None),
+                    out_shardings=(self._state_sh, None))
+            return compiled[k]
+
+        import numpy as np
+        t0 = time.monotonic()
+        done = 0
+        while done < num_steps:
+            k = min(chunk, num_steps - done)
+            self.state, (losses, gnorms) = chunk_fn(k)(
+                self.state, jnp.int32(step0 + done))
+            losses = np.asarray(losses)     # host read: sync + throttle
+            gnorms = np.asarray(gnorms)
+            done += k
+            step = step0 + done
+            m = {"loss": float(losses[-1]),
+                 "grad_norm": float(gnorms[-1]),
+                 "loss_mean": float(losses.mean()),
+                 "steps_per_sec": done / (time.monotonic() - t0),
+                 "loss_trace": losses, "grad_norm_trace": gnorms}
+            if metrics_hook is not None:
+                metrics_hook(step, m)
+            for cb in self.callbacks:
+                cb(step, state=self.state, metrics=m)
         return self.state
