@@ -72,6 +72,12 @@ def main(argv=None):
     p.add_argument("--aux_weight", type=float, default=0.25)
     p.add_argument("--num_samples", type=int, default=64)
     p.add_argument("--sample_batch", type=int, default=32)
+    p.add_argument("--pipeline", default="device",
+                   choices=["device", "host"],
+                   help="device = HBM-staged dataset + chunked lax.scan "
+                   "(TPU-native, round 4); host = per-step host batches "
+                   "(the r3 runs' path)")
+    p.add_argument("--chunk", type=int, default=200)
     p.add_argument("--num_train_eval", type=int, default=256,
                    help="training chains used for the reference statistics")
     p.add_argument("--remat", action="store_true",
@@ -120,10 +126,24 @@ def main(argv=None):
         print(f"[protein_quality] step {step} loss={metrics['loss']:.4f} "
               f"({metrics['steps_per_sec']:.2f} steps/s)", flush=True)
 
-    callbacks = [PeriodicCallback(callback_fn=log_cb, every_steps=200)]
-    batches = protein_batches(ds, args.batch_size, seed=args.seed)
-    trainer = Trainer(train_step, state, batches, mesh=mesh,
-                      callbacks=callbacks)
+    if args.pipeline == "device":
+        # TPU-native path (round 4): positions+lengths staged in HBM,
+        # minibatches drawn inside a chunked lax.scan — no per-step
+        # host->device traffic (PERF.md "Device-resident data pipeline")
+        from tpu_diffusion.data.device_cache import make_protein_sampler
+        sampler = make_protein_sampler(ds.positions, ds.lengths,
+                                       args.batch_size, mesh=mesh)
+        trainer = Trainer(train_step, state, iter(()), mesh=mesh)
+        fit_segment = lambda n: trainer.fit_scanned(
+            n, sampler, chunk=args.chunk,
+            base_key=jax.random.PRNGKey(args.seed + 101),
+            metrics_hook=log_cb)
+    else:
+        callbacks = [PeriodicCallback(callback_fn=log_cb, every_steps=200)]
+        batches = protein_batches(ds, args.batch_size, seed=args.seed)
+        trainer = Trainer(train_step, state, batches, mesh=mesh,
+                          callbacks=callbacks)
+        fit_segment = trainer.fit
 
     # ---- training-set reference statistics --------------------------------
     pipeline = EvaluationPipeline()
@@ -190,6 +210,7 @@ def main(argv=None):
                                      if ds.synthetic else ""),
         "num_samples": args.num_samples,
         "num_train_eval": len(train_rows),
+        "pipeline": args.pipeline,
         "params_m": round(n_params / 1e6, 2),
         "train_reference": {k: round(train_summary[k + "_mean"], 4)
                             for k in HEADLINE},
@@ -206,7 +227,7 @@ def main(argv=None):
     prev = 0
     for step_target in snap_steps:
         if step_target > prev:
-            state = trainer.fit(step_target - prev)
+            state = fit_segment(step_target - prev)
             prev = step_target
         params_s = jax.tree.map(np.asarray, state.params)
         ckpt.save(step_target, {

@@ -427,3 +427,25 @@ def test_device_cache_cfm_pair_sampler_couples():
     indep = jax.jit(make_cfm_pair_sampler(images, 32, ot=None))
     d = lambda xy: float(jnp.mean(jnp.sum((xy[0] - xy[1]) ** 2, (1, 2, 3))))
     assert d(paired(key)) < d(indep(key))
+
+
+def test_device_cache_protein_sampler():
+    from tpu_diffusion.data.device_cache import make_protein_sampler
+    from tpu_diffusion.protein.data import get_protein_data
+
+    mesh = make_mesh()
+    ds = get_protein_data("does/not/exist", max_len=24, n_synthetic=16)
+    sample = jax.jit(make_protein_sampler(ds.positions, ds.lengths, 8,
+                                          mesh=mesh))
+    b = sample(jax.random.PRNGKey(0))
+    assert b["pos"].shape == (8, 24, 3) and b["mask"].shape == (8, 24)
+    assert b["mask"].dtype == jnp.bool_
+    # mask rows are true prefixes matching a dataset length
+    m = np.asarray(b["mask"])
+    runs = m.sum(1)
+    np.testing.assert_array_equal(m, np.arange(24)[None] < runs[:, None])
+    assert set(runs.tolist()) <= set(np.asarray(ds.lengths).tolist())
+    # rows come from the dataset
+    flat = np.asarray(ds.positions).reshape(16, -1)
+    for row in np.asarray(b["pos"]).reshape(8, -1):
+        assert (np.abs(flat - row).max(1) < 1e-6).any()

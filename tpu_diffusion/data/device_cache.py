@@ -70,6 +70,33 @@ def sample_batch(images: Array, key: Array, batch_size: int,
     return batch
 
 
+def make_protein_sampler(positions, lengths, batch_size: int, mesh=None):
+    """Device-resident counterpart of `protein.data.protein_batches`.
+
+    Stages the padded [N, L, 3] position tensor and [N] lengths once and
+    returns `sample(key) -> {"pos": [B, L, 3], "mask": [B, L]}` (pure,
+    jit-safe), so the protein trainer can run under `Trainer.fit_scanned`
+    with zero per-step host traffic. The mask is recomputed on device from
+    the gathered lengths (cheaper to move one int per row than the mask).
+    """
+    pos = jnp.asarray(np.asarray(positions), jnp.float32)
+    lens = jnp.asarray(np.asarray(lengths), jnp.int32)
+    if mesh is not None:
+        pos, lens = replicate(mesh, pos), replicate(mesh, lens)
+    col = jnp.arange(pos.shape[1])
+
+    def sample(key: Array):
+        idx = jax.random.randint(key, (batch_size,), 0, pos.shape[0])
+        batch = {"pos": jnp.take(pos, idx, axis=0),
+                 "mask": col[None, :] < jnp.take(lens, idx)[:, None]}
+        if mesh is not None:
+            batch = jax.lax.with_sharding_constraint(
+                batch, batch_sharding(mesh))
+        return batch
+
+    return sample
+
+
 def make_cfm_pair_sampler(images: Array, batch_size: int,
                           flip: bool = False, mesh=None,
                           ot: Optional[str] = "sinkhorn",

@@ -195,6 +195,14 @@ class Trainer:
         with the full `loss_trace`/`grad_norm_trace` arrays in `metrics`,
         so an every-N recorder sees no coarser data than `fit()` gave it.
         """
+        from tpu_diffusion.train.actions import PeriodicAction
+        for cb in self.callbacks:
+            if isinstance(cb, PeriodicAction):
+                raise ValueError(
+                    "fit_scanned() fires callbacks once per chunk, which "
+                    "violates PeriodicAction's call-every-step contract — "
+                    "use the metrics_hook (it receives the full per-step "
+                    "loss_trace) or fit() for per-step cadence")
         if base_key is None:
             base_key = jax.random.PRNGKey(0)
         base_key = jax.device_put(base_key)
