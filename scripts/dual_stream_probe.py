@@ -43,9 +43,6 @@ from tpu_diffusion.models.unet import create_model
 from tpu_diffusion.sampling.ancestral import (_ddim_per_step, _ddim_update,
                                               make_ddim_sampler, process_x0)
 
-STEPS = 100
-
-
 def make_multi_stream_sampler(eps_fn, ddpm, n_streams: int, steps: int):
     """`n_streams` independent DDIM chains advanced inside ONE scan body."""
     per_step = _ddim_per_step(ddpm, steps, 0.0)
@@ -80,14 +77,30 @@ def time_it(fn, args, label, iters=5):
     return dt
 
 
-def main():
+def main(argv=None):
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--channels", type=int, default=128)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch", type=int, default=64,
+                   help="per-stream batch for variant A/C; B uses half")
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny CPU correctness pass (forces cpu platform)")
+    args = p.parse_args(argv)
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+        args.channels, args.steps, args.batch = 16, 4, 4
+    STEPS = args.steps
+    B = args.batch
+
     model = create_model(
-        image_size=32, num_channels=128, num_res_blocks=2, in_channels=3,
+        image_size=32, num_channels=args.channels, num_res_blocks=2,
+        in_channels=3,
         channel_mult=(1, 2, 2, 2), num_heads=4, attention_resolutions="16",
         dropout=0.0, use_scale_shift_norm=True, dtype=jnp.bfloat16,
         norm_dtype=jnp.bfloat16, attention_impl="xla")
-    x0 = jnp.zeros((64, 32, 32, 3), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((64,)))
+    x0 = jnp.zeros((B, 32, 32, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((B,)))
     params = jax.tree.map(
         lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
         params)
@@ -98,20 +111,21 @@ def main():
 
     key = jax.random.PRNGKey(1)
     results = []
-    for label, n_streams, b in [("A_1x64", 1, 64), ("B_2x32", 2, 32),
-                                ("C_2x64", 2, 64)]:
+    for label, n_streams, b in [(f"A_1x{B}", 1, B),
+                                (f"B_2x{B // 2}", 2, B // 2),
+                                (f"C_2x{B}", 2, B)]:
         if n_streams == 1:
             fn = jax.jit(make_ddim_sampler(eps_fn, ddpm, num_steps=STEPS))
-            args = (key, jax.random.normal(key, (b, 32, 32, 3)))
+            fargs = (key, jax.random.normal(key, (b, 32, 32, 3)))
         else:
             raw = make_multi_stream_sampler(eps_fn, ddpm, n_streams, STEPS)
             fn = jax.jit(lambda k, *xs: raw(k, xs))
-            args = (key,) + tuple(
+            fargs = (key,) + tuple(
                 jax.random.normal(jax.random.fold_in(key, s),
                                   (b, 32, 32, 3))
                 for s in range(n_streams))
         t_c0 = time.perf_counter()
-        dt = time_it(fn, args, label)
+        dt = time_it(fn, fargs, label)
         total = n_streams * b
         row = {"variant": label, "streams": n_streams, "batch_each": b,
                "ms_per_chain": round(dt * 1e3, 1),
