@@ -50,6 +50,26 @@ def test_fid_accumulator_discriminates():
     assert fid_close.compute() < fid_far.compute() * 0.5
 
 
+def test_fid_real_stats_cache_roundtrip():
+    """set_real_statistics(real_statistics()) reproduces compute() exactly
+    — the disk cache in cli/compute_fid.py relies on this."""
+    fn = make_feature_fn("random_conv", image_size=16, channels=1)
+    rng = np.random.default_rng(2)
+    real = rng.normal(size=(64, 16, 16, 1)).astype(np.float32) * 0.1
+    fake = rng.uniform(-1, 1, size=(64, 16, 16, 1)).astype(np.float32)
+
+    fid_a = FID(fn)
+    fid_a.update(jnp.asarray(real), real=True)
+    fid_a.update(jnp.asarray(fake), real=False)
+    mu, sigma = fid_a.real_statistics()
+    score_a = fid_a.compute()
+
+    fid_b = FID(fn)  # never sees real images
+    fid_b.set_real_statistics(mu, sigma)
+    fid_b.update(jnp.asarray(fake), real=False)
+    assert fid_b.compute() == pytest.approx(score_a, rel=1e-12)
+
+
 def test_inception_kind_raises_without_weights():
     with pytest.raises((FileNotFoundError, NotImplementedError)):
         make_feature_fn("inception")

@@ -24,6 +24,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpu_diffusion.cli.train_cifar10 import build_model
 from tpu_diffusion.data.registry import epoch_batches, get_dataset
@@ -72,7 +73,8 @@ def main(argv=None):
     params0 = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1,)), x0)
     assets, step = mgr.load({"params": params0, "ema": params0, "step": 0})
     params = assets["ema" if args.use_ema == "true" else "params"]
-    print(f"[compute_fid] restored step {step} from {ckpt_dir}")
+    print(f"[compute_fid] restored step {step} from {ckpt_dir}",
+          flush=True)
 
     def velocity(t, x):
         return model.apply(params, t, x)
@@ -110,8 +112,23 @@ def main(argv=None):
 
     feature_fn = make_feature_fn(args.features, image_size=h, channels=c)
     fid = FID(feature_fn)
-    for batch in epoch_batches(ds, args.batch_size_fid):
-        fid.update(jnp.asarray(batch), real=True)
+    # Real-split statistics are a pure function of (dataset, features,
+    # shape); cache them on disk — the transfer of the full train split
+    # through the TPU tunnel dominates startup otherwise (~15 min for
+    # CIFAR-10 at tunnel bandwidth, measured round 4).
+    stats_path = os.path.join(
+        args.input_dir,
+        f"real_stats_{args.dataset}_{args.features}_{h}x{w}x{c}.npz")
+    if os.path.exists(stats_path):
+        z = np.load(stats_path)
+        fid.set_real_statistics(z["mu"], z["sigma"])
+        print(f"[compute_fid] real stats from cache {stats_path}",
+              flush=True)
+    else:
+        for batch in epoch_batches(ds, args.batch_size_fid):
+            fid.update(jnp.asarray(batch), real=True)
+        mu, sigma = fid.real_statistics()
+        np.savez(stats_path, mu=mu, sigma=sigma)
 
     key = jax.random.PRNGKey(args.seed)
     total_nfe = 0
@@ -131,7 +148,7 @@ def main(argv=None):
         fid.update(imgs, real=False)
         if i % 5 == 0:
             print(f"[compute_fid] generated {min((i+1)*args.batch_size_fid, args.num_gen)}"
-                  f"/{args.num_gen}")
+                  f"/{args.num_gen}", flush=True)
 
     score = fid.compute()
     result = {"fid": score, "features": args.features, "step": int(step),

@@ -171,13 +171,26 @@ class FID:
         self._fn = feature_fn
         self._real: list = []
         self._fake: list = []
+        self._real_stats = None
 
     def update(self, images: Array, real: bool):
         feats = np.asarray(self._fn(images))
         (self._real if real else self._fake).append(feats)
 
+    def real_statistics(self):
+        """(mu, sigma) of the real features seen so far — cacheable."""
+        if self._real_stats is None:
+            self._real_stats = compute_statistics(
+                np.concatenate(self._real))
+        return self._real_stats
+
+    def set_real_statistics(self, mu, sigma):
+        """Install precomputed real-split statistics (skips the real
+        pass — they are a pure function of dataset/features/shape)."""
+        self._real_stats = (np.asarray(mu), np.asarray(sigma))
+
     def compute(self) -> float:
-        mu_r, s_r = compute_statistics(np.concatenate(self._real))
+        mu_r, s_r = self.real_statistics()
         mu_f, s_f = compute_statistics(np.concatenate(self._fake))
         return frechet_distance(mu_r, s_r, mu_f, s_f)
 
