@@ -98,8 +98,7 @@ def main(argv=None):
             print(f"[compute_fid] dopri5 trip budget calibrated to "
                   f"{dopri5_kwargs['max_steps']} (CPU probe)")
 
-    @jax.jit
-    def gen_batch(key):
+    def _gen_batch(key):
         noise = jax.random.normal(key, (args.batch_size_fid, h, w, c))
         if args.integration_method == "dopri5":
             x1, nfe = odeint(velocity, noise, method="dopri5",
@@ -109,6 +108,22 @@ def main(argv=None):
                              method=args.integration_method,
                              num_steps=args.integration_steps)
         return quantize_roundtrip(jnp.clip(x1, -1, 1)), nfe
+
+    # AOT-compile once so the compiler's memory analysis (peak temp +
+    # argument + output bytes) can be reported even on backends whose
+    # runtime doesn't expose memory_stats().
+    gen_batch = jax.jit(_gen_batch).lower(
+        jax.random.PRNGKey(0)).compile()
+    compiled_mem_gb = None
+    try:
+        ma = gen_batch.memory_analysis()
+        compiled_mem_gb = round(
+            (ma.temp_size_in_bytes + ma.argument_size_in_bytes
+             + ma.output_size_in_bytes) / 1e9, 3)
+        print(f"[compute_fid] compiled memory analysis: "
+              f"{compiled_mem_gb} GB (temp+args+out)", flush=True)
+    except Exception:
+        pass
 
     feature_fn = make_feature_fn(args.features, image_size=h, channels=c)
     fid = FID(feature_fn)
@@ -154,7 +169,8 @@ def main(argv=None):
     result = {"fid": score, "features": args.features, "step": int(step),
               "num_gen": n_batches * args.batch_size_fid,
               "mean_nfe": total_nfe / n_batches,
-              "method": args.integration_method}
+              "method": args.integration_method,
+              "compiled_memory_gb": compiled_mem_gb}
     from tpu_diffusion.eval.fid import fid_caveat
     result.update(fid_caveat(args.features,
                              synthetic_data=getattr(ds, "synthetic", False)))
