@@ -50,7 +50,13 @@ def main(argv=None):
     os.makedirs(args.workdir, exist_ok=True)
     if not os.path.isdir(os.path.join(args.workdir, "ckpt")) or not \
             os.listdir(os.path.join(args.workdir, "ckpt")):
-        cli_main.main(base + ["--mode", "train"])
+        # bound the train-time periodic evals (default num_test=96 at
+        # 1000-step chains) — the gate only needs the checkpoint
+        cli_main.main(base + [
+            "--mode", "train",
+            "--override", "testing.num_test=16",
+            "--override", "testing.batch_size=16",
+        ])
 
     rows = []
     for k in (int(v) for v in args.ks.split(",")):
