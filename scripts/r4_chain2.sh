@@ -53,6 +53,27 @@ EOF
     echo "[chain2] segment failed rc=$?; backoff 120s"; sleep 120; }
 done
 
+# FID protocol against the deepest checkpoint reached (euler only —
+# the dual-integrator artifact already exists at step 50k)
+last=$(python - <<'EOF'
+import json
+try:
+    rows = [json.loads(l) for l in open("results_long_horizon/segments.jsonl")]
+    print(rows[-1]["end_step"])
+except Exception:
+    print(0)
+EOF
+)
+if [ "$last" -gt 50000 ] && [ ! -e "results_fid_final/fid50k.json" ]; then
+  wait_tpu
+  echo "[chain2] $(date -u +%H:%M:%S) fid protocol at step $last"
+  timeout 600 python scripts/export_for_fid.py --src results_long_horizon \
+    --dst results_fid_final --model otcfm &&
+  cp results_fid50k/real_stats_*.npz results_fid_final/ 2>/dev/null
+  timeout 7200 python scripts/fid50k.py --input_dir results_fid_final \
+    --methods euler || echo "[chain2] fid at $last failed"
+fi
+
 wait_tpu
 echo "[chain2] $(date -u +%H:%M:%S) running bench.py"
 timeout 3600 python bench.py
