@@ -119,6 +119,17 @@ def main(argv=None):
     state = TrainState.create(params, tx, rng)
     train_step = make_train_step(loss_fn, tx, ema_decay=0.999)
 
+    # Restart-from-latest (r4): the axon tunnel drops for hours mid-run;
+    # keep the FULL TrainState (params+ema+opt_state+step+rng) in a side
+    # checkpoint so a stall costs only the in-flight segment. The device
+    # pipeline's batch stream is a pure function of (seed, step), so the
+    # resumed run sees exactly the batches the lost one would have
+    # (pinned in tests/test_train.py).
+    from tpu_diffusion.train.checkpoint import CheckpointManager
+    resume = CheckpointManager(os.path.join(args.out, "resume"), maximum=1)
+    assets, _ = resume.load({"state": state})
+    state = assets["state"]
+
     last_loss = {"v": None}
 
     def log_cb(step, metrics, **kw):
@@ -197,7 +208,6 @@ def main(argv=None):
     # completed snapshot's checkpoint, per-sample CSV, and curve entry hit
     # disk before the next training segment starts, so a stall costs only
     # the in-flight segment.
-    from tpu_diffusion.train.checkpoint import CheckpointManager
     ckpt = CheckpointManager(os.path.join(args.out, "ckpt"), maximum=2)
     table = []
     result = {
@@ -223,9 +233,24 @@ def main(argv=None):
         with open(path, "w") as f:
             json.dump(result, f, indent=2)
 
+    prev = int(state.step)
+    start_step = prev
+    if prev and os.path.exists(path):
+        # Re-populate curve rows persisted by the run this one resumes.
+        try:
+            with open(path) as f:
+                table.extend(r for r in json.load(f).get("curve", [])
+                             if r["step"] <= prev)
+        except Exception:
+            pass
+    done_steps = {r["step"] for r in table}
+
     t0 = time.monotonic()
-    prev = 0
+    params_s = jax.tree.map(np.asarray, state.params)
     for step_target in snap_steps:
+        if step_target < prev or (step_target == prev
+                                  and step_target in done_steps):
+            continue
         if step_target > prev:
             state = fit_segment(step_target - prev)
             prev = step_target
@@ -247,13 +272,15 @@ def main(argv=None):
                                             float("nan")), 4)
         table.append(entry)
         write_json()
+        resume.save(step_target,
+                    {"state": jax.tree.map(np.asarray, state)})
         print(f"[protein_quality] step {step_target}: "
               + " ".join(f"{k}={entry[k]}" for k in HEADLINE)
               + " | W1 " + " ".join(f"{k}={entry['w1_' + k]}"
                                     for k in W1_KEYS)
               + f" ({time.monotonic()-t1:.1f}s)", flush=True)
 
-    total_trained = prev
+    total_trained = prev - start_step
     train_secs = time.monotonic() - t0
     result["train_steps_per_sec_incl_eval"] = round(
         total_trained / max(train_secs, 1e-9), 3)
