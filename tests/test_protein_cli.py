@@ -10,6 +10,38 @@ import pytest
 pytestmark = pytest.mark.slow
 
 
+def test_protein_quality_resumes_from_full_state(tmp_path):
+    """scripts/protein_quality.py restart-from-latest: a second invocation
+    with an extended snapshot list restores the full TrainState from
+    <out>/resume, keeps the already-persisted curve rows verbatim, and
+    trains only the remaining segment."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import protein_quality
+
+    out = str(tmp_path / "pq")
+    tiny = ["--batch_size", "4", "--max_len", "16",
+            "--node_scalars", "8", "--node_vectors", "2",
+            "--conv_layers", "1", "--diffusion_steps", "8",
+            "--num_samples", "2", "--sample_batch", "2",
+            "--num_train_eval", "4", "--chunk", "3", "--out", out]
+    protein_quality.main(["--snapshot_steps", "0,6"] + tiny)
+    with open(os.path.join(out, "quality_curve.json")) as f:
+        first = json.load(f)
+    assert [r["step"] for r in first["curve"]] == [0, 6]
+    assert os.path.isdir(os.path.join(out, "resume"))
+
+    protein_quality.main(["--snapshot_steps", "0,6,12"] + tiny)
+    with open(os.path.join(out, "quality_curve.json")) as f:
+        second = json.load(f)
+    assert [r["step"] for r in second["curve"]] == [0, 6, 12]
+    # rows <= the resume point are the persisted ones, not re-evaluated
+    assert second["curve"][:2] == first["curve"]
+    # only the 6->12 segment was trained in the second invocation
+    assert second["train_steps_per_sec_incl_eval"] > 0
+
+
 def test_protein_pipeline_end_to_end(tmp_path):
     from tpu_diffusion.cli import sample_protein, train_protein
     from tpu_diffusion.protein import evaluate
