@@ -132,6 +132,30 @@ def test_compute_fid_cli_tiny(tmp_path):
     assert result["mean_nfe"] == 4
 
 
+def test_compute_fid_cli_chunked_dopri5(tmp_path):
+    """The TPU dopri5 path end-to-end on CPU: --dopri5_fixed_trip true
+    engages the calibrated fixed-trip budget AND the Dopri5Chunked driver
+    (multiple euler-scale device executions — required at batch 1024 on
+    the axon tunnel, which kills minutes-long single executions)."""
+    from tpu_diffusion.cli import compute_fid as fid_cli
+    from tpu_diffusion.cli import train_cifar10 as cli
+    out = str(tmp_path / "results")
+    cli.main(["--model", "icfm", "--output_dir", out, "--num_channel", "8",
+              "--total_steps", "2", "--batch_size", "16",
+              "--save_step", "1000", "--warmup", "2",
+              "--sample_grid", "8", "--sample_steps", "4"])
+    fid_cli.main(["--model", "icfm", "--input_dir", out,
+                  "--num_channel", "8", "--integration_method", "dopri5",
+                  "--dopri5_fixed_trip", "true", "--dopri5_chunk", "8",
+                  "--num_gen", "32", "--batch_size_fid", "32"])
+    with open(os.path.join(out, "icfm", "fid_random_conv.json")) as f:
+        result = json.load(f)
+    assert np.isfinite(result["fid"])
+    assert result["dopri5_chunk"] == 8
+    assert result["dopri5_trip_budget"] >= 16
+    assert result["mean_nfe"] > 6
+
+
 def test_inception_random_graph_features():
     fn = make_feature_fn("inception_random")
     out = fn(jnp.zeros((2, 32, 32, 3)))

@@ -71,6 +71,36 @@ def test_dopri5_fixed_trip_count_matches_while_loop():
                                atol=1e-7, rtol=1e-7)
 
 
+def test_dopri5_chunked_matches_single_scan_bitwise():
+    """Dopri5Chunked (multiple device executions, required at the FID
+    protocol's batch-1024 scale on the axon tunnel — a single 552-NFE
+    executable kills the TPU worker, round 4) is BITWISE equal to the
+    single masked scan: the mask freezes finished trajectories, so segment
+    boundaries cannot change anything. Chunk sizes that divide, exceed,
+    and straddle the budget are all pinned."""
+    from tpu_diffusion.sampling.ode import Dopri5Chunked
+    v = lambda t, x: -2.0 * x * (1.0 + jnp.sin(5 * t))
+    x0 = jax.random.normal(jax.random.PRNGKey(11), (4, 8))
+    for budget, chunk in [(64, 16), (64, 64), (64, 7), (10, 64)]:
+        sampler = Dopri5Chunked(v, rtol=1e-6, atol=1e-6,
+                                max_steps=budget, chunk_steps=chunk)
+        xc, nfec = sampler(x0)
+        # rounding up to whole segments only adds masked (frozen) trips
+        xs, nfes = odeint_dopri5(v, x0, rtol=1e-6, atol=1e-6,
+                                 max_steps=sampler.total_steps,
+                                 fixed_trip_count=True)
+        assert int(nfec) == int(nfes), (budget, chunk)
+        np.testing.assert_array_equal(np.asarray(xc), np.asarray(xs))
+
+
+def test_dopri5_chunked_memory_analysis_runs():
+    from tpu_diffusion.sampling.ode import Dopri5Chunked
+    sampler = Dopri5Chunked(lambda t, x: -x, max_steps=8, chunk_steps=4)
+    gb = sampler.memory_analysis_gb(
+        jax.ShapeDtypeStruct((2, 4, 4, 3), jnp.float32))
+    assert gb >= 0.0
+
+
 def test_dopri5_platform_kwargs_cpu_empty():
     """On CPU the while_loop path is fine -> no overrides; the TPU branch
     is exercised on hardware by the verify recipe."""

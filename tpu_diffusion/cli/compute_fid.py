@@ -55,6 +55,16 @@ def main(argv=None):
     p.add_argument("--features", default="random_conv",
                    choices=["random_conv", "inception"])
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dopri5_fixed_trip", default="auto",
+                   choices=["auto", "true", "false"],
+                   help="force the fixed-trip-count masked-scan dopri5 "
+                        "(auto: platform-appropriate — fixed on TPU, "
+                        "early-exit while_loop elsewhere)")
+    p.add_argument("--dopri5_chunk", type=int, default=16,
+                   help="trips per device execution for the TPU fixed-trip "
+                        "dopri5 (the axon tunnel kills single executions "
+                        "that run for minutes; 16 trips = 96 NFE keeps "
+                        "each execution at the proven euler-100 scale)")
     p.add_argument("--use_ema", default="true", choices=["true", "false"],
                    help="sample with the EMA weights (reference protocol); "
                         "'false' uses the live params (useful for short "
@@ -83,7 +93,12 @@ def main(argv=None):
     if args.integration_method == "dopri5":
         from tpu_diffusion.sampling.ode import (calibrate_dopri5_steps,
                                                 dopri5_platform_kwargs)
-        dopri5_kwargs = dopri5_platform_kwargs()
+        if args.dopri5_fixed_trip == "auto":
+            dopri5_kwargs = dopri5_platform_kwargs()
+        elif args.dopri5_fixed_trip == "true":
+            dopri5_kwargs = {"fixed_trip_count": True, "max_steps": 128}
+        else:
+            dopri5_kwargs = {}
         if dopri5_kwargs.get("fixed_trip_count"):
             # TPU pays all 6*max_steps NFE of the masked scan — size the
             # budget from one CPU probe of the real controller instead of
@@ -98,32 +113,62 @@ def main(argv=None):
             print(f"[compute_fid] dopri5 trip budget calibrated to "
                   f"{dopri5_kwargs['max_steps']} (CPU probe)")
 
-    def _gen_batch(key):
-        noise = jax.random.normal(key, (args.batch_size_fid, h, w, c))
-        if args.integration_method == "dopri5":
-            x1, nfe = odeint(velocity, noise, method="dopri5",
-                             rtol=args.tol, atol=args.tol, **dopri5_kwargs)
-        else:
-            x1, nfe = odeint(velocity, noise,
-                             method=args.integration_method,
-                             num_steps=args.integration_steps)
-        return quantize_roundtrip(jnp.clip(x1, -1, 1)), nfe
-
-    # AOT-compile once so the compiler's memory analysis (peak temp +
-    # argument + output bytes) can be reported even on backends whose
-    # runtime doesn't expose memory_stats().
-    gen_batch = jax.jit(_gen_batch).lower(
-        jax.random.PRNGKey(0)).compile()
     compiled_mem_gb = None
-    try:
-        ma = gen_batch.memory_analysis()
-        compiled_mem_gb = round(
-            (ma.temp_size_in_bytes + ma.argument_size_in_bytes
-             + ma.output_size_in_bytes) / 1e9, 3)
-        print(f"[compute_fid] compiled memory analysis: "
-              f"{compiled_mem_gb} GB (temp+args+out)", flush=True)
-    except Exception:
-        pass
+    if dopri5_kwargs.get("fixed_trip_count"):
+        # Fixed-trip dopri5 on the tunnel backend: the whole calibrated
+        # budget in one executable (~6*budget NFE) runs for minutes at
+        # batch 1024 and gets the worker killed (measured round 4);
+        # Dopri5Chunked splits the masked scan into euler-scale
+        # executions with identical numerics.
+        from tpu_diffusion.sampling.ode import Dopri5Chunked
+        chunked = Dopri5Chunked(velocity, rtol=args.tol, atol=args.tol,
+                                max_steps=dopri5_kwargs["max_steps"],
+                                chunk_steps=args.dopri5_chunk)
+        noise_fn = jax.jit(lambda k: jax.random.normal(
+            k, (args.batch_size_fid, h, w, c)))
+        post_fn = jax.jit(lambda x: quantize_roundtrip(jnp.clip(x, -1, 1)))
+
+        def gen_batch(key):
+            x1, nfe = chunked(noise_fn(key))
+            return post_fn(x1), nfe
+
+        try:
+            compiled_mem_gb = chunked.memory_analysis_gb(
+                jax.ShapeDtypeStruct((args.batch_size_fid, h, w, c),
+                                     jnp.float32))
+            print(f"[compute_fid] compiled memory analysis (per segment): "
+                  f"{compiled_mem_gb} GB (temp+args+out); "
+                  f"{chunked.n_segments} segments x {chunked.chunk_steps} "
+                  f"trips per batch", flush=True)
+        except Exception:
+            pass
+    else:
+        def _gen_batch(key):
+            noise = jax.random.normal(key, (args.batch_size_fid, h, w, c))
+            if args.integration_method == "dopri5":
+                x1, nfe = odeint(velocity, noise, method="dopri5",
+                                 rtol=args.tol, atol=args.tol,
+                                 **dopri5_kwargs)
+            else:
+                x1, nfe = odeint(velocity, noise,
+                                 method=args.integration_method,
+                                 num_steps=args.integration_steps)
+            return quantize_roundtrip(jnp.clip(x1, -1, 1)), nfe
+
+        # AOT-compile once so the compiler's memory analysis (peak temp +
+        # argument + output bytes) can be reported even on backends whose
+        # runtime doesn't expose memory_stats().
+        gen_batch = jax.jit(_gen_batch).lower(
+            jax.random.PRNGKey(0)).compile()
+        try:
+            ma = gen_batch.memory_analysis()
+            compiled_mem_gb = round(
+                (ma.temp_size_in_bytes + ma.argument_size_in_bytes
+                 + ma.output_size_in_bytes) / 1e9, 3)
+            print(f"[compute_fid] compiled memory analysis: "
+                  f"{compiled_mem_gb} GB (temp+args+out)", flush=True)
+        except Exception:
+            pass
 
     feature_fn = make_feature_fn(args.features, image_size=h, channels=c)
     fid = FID(feature_fn)
@@ -171,6 +216,9 @@ def main(argv=None):
               "mean_nfe": total_nfe / n_batches,
               "method": args.integration_method,
               "compiled_memory_gb": compiled_mem_gb}
+    if dopri5_kwargs.get("fixed_trip_count"):
+        result["dopri5_trip_budget"] = dopri5_kwargs["max_steps"]
+        result["dopri5_chunk"] = args.dopri5_chunk
     from tpu_diffusion.eval.fid import fid_caveat
     result.update(fid_caveat(args.features,
                              synthetic_data=getattr(ds, "synthetic", False)))

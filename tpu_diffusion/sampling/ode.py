@@ -107,6 +107,62 @@ _DP_B4 = np.array([5179 / 57600, 0, 7571 / 16695, 393 / 640,
                    -92097 / 339200, 187 / 2100, 1 / 40])
 
 
+def _dopri5_body(v: VField, t1: float, rtol: float, atol: float):
+    """One accepted-or-rejected Dormand–Prince trip on controller state
+    `(t, x, dt, k1, nfe, done)` — shared by the while_loop, the single
+    masked scan, and the chunked-scan drivers so their numerics are
+    identical by construction."""
+
+    def step_once(t, x, dt, k1):
+        ks = [k1]
+        for s in range(1, 7):
+            incr = sum(float(_DP_A[s - 1][j]) * ks[j] for j in range(s)
+                       if _DP_A[s - 1][j] != 0.0)
+            ks.append(v(t + float(_DP_C[s]) * dt, x + dt * incr))
+        x5 = x + dt * sum(float(b) * k for b, k in zip(_DP_B5, ks)
+                          if b != 0.0)
+        x4 = x + dt * sum(float(b) * k for b, k in zip(_DP_B4, ks)
+                          if b != 0.0)
+        return x5, x4, ks[-1]  # FSAL: k7 at (t+dt, x5)
+
+    def err_norm(x5, x4, x, x_new):
+        scale = atol + rtol * jnp.maximum(jnp.abs(x), jnp.abs(x_new))
+        return jnp.sqrt(jnp.mean(((x5 - x4) / scale) ** 2))
+
+    def body(state):
+        t, x, dt, k1, nfe, done = state
+        dt = jnp.minimum(dt, t1 - t)
+        x5, x4, k7 = step_once(t, x, dt, k1)
+        err = err_norm(x5, x4, x, x5)
+        accept = err <= 1.0
+        factor = jnp.clip(0.9 * (err + 1e-10) ** -0.2, 0.2, 10.0)
+        new_dt = dt * factor
+        t = jnp.where(accept, t + dt, t)
+        x = jax.tree.map(lambda a, b: jnp.where(accept, b, a), x, x5)
+        k1 = jax.tree.map(lambda a, b: jnp.where(accept, b, a), k1, k7)
+        done = t >= t1 - 1e-8
+        return (t, x, new_dt, k1, nfe + 6, done)
+
+    return body
+
+
+def _dopri5_init(v: VField, x0: Array, t0: float, t1: float):
+    k1 = v(jnp.asarray(t0, x0.dtype), x0)
+    return (jnp.asarray(t0, jnp.float32), x0,
+            jnp.asarray((t1 - t0) / 100.0, jnp.float32), k1,
+            jnp.asarray(1, jnp.int32), jnp.asarray(False))
+
+
+def _dopri5_masked_scan_body(body):
+    def scan_body(state, _):
+        done = state[5]
+        new = body(state)
+        # finished trajectories stop updating (and stop counting NFE)
+        out = jax.tree.map(lambda a, b: jnp.where(done, a, b), state, new)
+        return out, None
+    return scan_body
+
+
 def odeint_dopri5(v: VField, x0: Array, t0: float = 0.0, t1: float = 1.0,
                   rtol: float = 1e-5, atol: float = 1e-5,
                   max_steps: int = 1000,
@@ -126,61 +182,91 @@ def odeint_dopri5(v: VField, x0: Array, t0: float = 0.0, t1: float = 1.0,
     masked — identical numerics, static shape, ~`6*max_steps` NFE of
     wall-clock work regardless of early convergence (size `max_steps`
     to the expected step budget, e.g. 64 for the FID protocol's fields).
+    For long budgets at large batch, prefer `Dopri5Chunked` — a single
+    device execution that runs for minutes gets killed by the axon tunnel
+    (measured round 4: the 552-NFE batch-1024 FID executable died with
+    "TPU worker process crashed"; 100-NFE euler at the same batch is fine).
     """
-    dtype = x0.dtype
+    body = _dopri5_body(v, t1, rtol, atol)
+    init = _dopri5_init(v, x0, t0, t1)
 
-    def step_once(t, x, dt, k1):
-        ks = [k1]
-        for s in range(1, 7):
-            incr = sum(float(_DP_A[s - 1][j]) * ks[j] for j in range(s)
-                       if _DP_A[s - 1][j] != 0.0)
-            ks.append(v(t + float(_DP_C[s]) * dt, x + dt * incr))
-        x5 = x + dt * sum(float(b) * k for b, k in zip(_DP_B5, ks)
-                          if b != 0.0)
-        x4 = x + dt * sum(float(b) * k for b, k in zip(_DP_B4, ks)
-                          if b != 0.0)
-        return x5, x4, ks[-1]  # FSAL: k7 at (t+dt, x5)
-
-    def err_norm(x5, x4, x, x_new):
-        scale = atol + rtol * jnp.maximum(jnp.abs(x), jnp.abs(x_new))
-        return jnp.sqrt(jnp.mean(((x5 - x4) / scale) ** 2))
+    if fixed_trip_count:
+        (t, x1, _, _, nfe, _), _ = jax.lax.scan(
+            init=init, xs=None, f=_dopri5_masked_scan_body(body),
+            length=max_steps)
+        return x1, nfe
 
     def cond(state):
         t, x, dt, k1, nfe, done = state
         return jnp.logical_and(~done, nfe < 6 * max_steps)
 
-    def body(state):
-        t, x, dt, k1, nfe, done = state
-        dt = jnp.minimum(dt, t1 - t)
-        x5, x4, k7 = step_once(t, x, dt, k1)
-        err = err_norm(x5, x4, x, x5)
-        accept = err <= 1.0
-        factor = jnp.clip(0.9 * (err + 1e-10) ** -0.2, 0.2, 10.0)
-        new_dt = dt * factor
-        t = jnp.where(accept, t + dt, t)
-        x = jax.tree.map(lambda a, b: jnp.where(accept, b, a), x, x5)
-        k1 = jax.tree.map(lambda a, b: jnp.where(accept, b, a), k1, k7)
-        done = t >= t1 - 1e-8
-        return (t, x, new_dt, k1, nfe + 6, done)
-
-    k1 = v(jnp.asarray(t0, dtype), x0)
-    init = (jnp.asarray(t0, jnp.float32), x0,
-            jnp.asarray((t1 - t0) / 100.0, jnp.float32), k1,
-            jnp.asarray(1, jnp.int32), jnp.asarray(False))
-    if fixed_trip_count:
-        def scan_body(state, _):
-            t, x, dt, k1, nfe, done = state
-            new = body((t, x, dt, k1, nfe, done))
-            # finished trajectories stop updating (and stop counting NFE)
-            out = jax.tree.map(lambda a, b: jnp.where(done, a, b), state,
-                               new)
-            return out, None
-        (t, x1, _, _, nfe, _), _ = jax.lax.scan(init=init, xs=None,
-                                                f=scan_body,
-                                                length=max_steps)
-        return x1, nfe
     t, x1, _, _, nfe, _ = jax.lax.while_loop(cond, body, init)
     return x1, nfe
+
+
+class Dopri5Chunked:
+    """Fixed-trip-count dopri5 split into `chunk_steps`-length device
+    executions, bitwise-identical to the single masked scan.
+
+    Why: the axon TPU tunnel kills a single device execution that runs for
+    minutes. At the reference FID protocol's scale (batch 1024,
+    cifar10/compute_fid.py:28-31) the calibrated 92-trip budget is 552
+    UNet evaluations in ONE executable — ~165 s at measured euler
+    throughput — and the worker died reproducibly on its first batch
+    ("TPU worker process crashed", round 4), while euler's 100-NFE
+    executable (~30 s) at the same batch ran 50 batches without incident.
+    Splitting the scan into consecutive segments whose carry stays on
+    device keeps every execution at euler scale; the masked scan freezes
+    finished trajectories, so where the segment boundaries fall cannot
+    change the result (pinned by tests/test_ode.py).
+
+    Host-loops over executions — NOT usable under an outer `jit`. Call
+    with concrete arrays:
+
+        sampler = Dopri5Chunked(velocity, max_steps=92, chunk_steps=16)
+        x1, nfe = sampler(noise)
+    """
+
+    def __init__(self, v: VField, t0: float = 0.0, t1: float = 1.0,
+                 rtol: float = 1e-5, atol: float = 1e-5,
+                 max_steps: int = 128, chunk_steps: int = 16):
+        self.n_segments = -(-max_steps // chunk_steps)
+        self.chunk_steps = chunk_steps
+        # rounded up to whole segments; >= the requested budget
+        self.total_steps = self.n_segments * chunk_steps
+        body = _dopri5_body(v, t1, rtol, atol)
+        scan_body = _dopri5_masked_scan_body(body)
+
+        def init_fn(x0):
+            return _dopri5_init(v, x0, t0, t1)
+
+        def seg_fn(state):
+            state, _ = jax.lax.scan(init=state, xs=None, f=scan_body,
+                                    length=chunk_steps)
+            return state
+
+        self._init = jax.jit(init_fn)
+        self._seg = jax.jit(seg_fn)
+
+    def __call__(self, x0: Array, sync: bool = True) -> Tuple[Array, Array]:
+        state = self._init(x0)
+        for _ in range(self.n_segments):
+            state = self._seg(state)
+            if sync:
+                # host read of the scalar clock: serializes executions so
+                # the runtime never queues minutes of device work behind
+                # one RPC (block_until_ready does not block on axon —
+                # CLAUDE.md); costs one scalar round trip per segment.
+                np.asarray(state[0])
+        return state[1], state[4]
+
+    def memory_analysis_gb(self, x0_spec) -> float:
+        """Compiler peak memory (temp+args+out) of one segment executable,
+        for backends without runtime memory_stats()."""
+        state_spec = jax.eval_shape(self._init, x0_spec)
+        ma = self._seg.lower(state_spec).compile().memory_analysis()
+        return round((ma.temp_size_in_bytes + ma.argument_size_in_bytes
+                      + ma.output_size_in_bytes) / 1e9, 3)
 
 
 def dopri5_platform_kwargs(max_steps_fixed: int = 128) -> dict:
