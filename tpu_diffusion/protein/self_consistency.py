@@ -17,12 +17,13 @@ Rebuilds the reference's inverse-folding / refolding stage logic
     prediction, :545-551 docstring + commented block :556-567) — completed
     here with the native novelty kernel.
 
-Neither tool exists in this environment, so every external dependency is
-behind an explicit seam: `ProteinMPNNScorer` is a small protocol (a
-`sample` + `log_probs` pair) that a real ProteinMPNN wrapper — or a test
-stub — implements, and the ColabFold runner takes the executable name so
-tests can point it at a fake. Everything else (CSV plumbing, NLL math,
-JSON/PDB parsing, scTM/scRMSD) is real code exercised by the test suite.
+Neither external tool exists in this environment, so each sits behind an
+explicit seam: `ProteinMPNNScorer` is a small protocol (a `sample` +
+`log_probs` pair) — filled by the real CA-ProteinMPNN architecture in
+`protein/mpnn.py` (random-init or converted public weights) or a test
+stub — and the ColabFold runner takes the executable name so tests can
+point it at a fake. Everything else (CSV plumbing, NLL math, JSON/PDB
+parsing, scTM/scRMSD) is real code exercised by the test suite.
 """
 
 from __future__ import annotations
@@ -82,17 +83,33 @@ class ProteinMPNNScorer:
         raise NotImplementedError
 
 
-def load_proteinmpnn_scorer() -> Optional[ProteinMPNNScorer]:
-    """Load the real CA ProteinMPNN when its package is importable
-    (reference `load_protein_mpnn_model(model_type="ca")`); None (-> stage
-    skipped) in environments without it, like this one."""
-    try:
-        import protein_mpnn_utils  # noqa: F401  (not in this image)
-    except ImportError:
-        return None
-    raise NotImplementedError(
-        "ProteinMPNN package detected but the adapter is not wired; "
-        "implement sample/log_probs against protein_mpnn_utils here")
+def load_proteinmpnn_scorer(weights_npz: Optional[str] = None,
+                            allow_random_init: bool = False
+                            ) -> Optional[ProteinMPNNScorer]:
+    """Load the CA ProteinMPNN scorer (reference
+    `load_protein_mpnn_model(model_type="ca")`).
+
+    The architecture is implemented in JAX (`protein/mpnn.py`); what gates
+    the stage is WEIGHTS, which don't exist in this environment. Priority:
+
+      1. `weights_npz` (or `$TPU_DIFFUSION_MPNN_WEIGHTS`): a converted
+         public checkpoint (`mpnn.convert_mpnn_state_dict`) -> real scores;
+      2. `allow_random_init=True`: the real architecture at random init —
+         deterministic and structure-dependent but NOT the published
+         model (self-consistent scores only, like eval/fid.py's
+         random-feature FID);
+      3. otherwise None -> the stage is skipped, as the reference does
+         without the proteinmpnn package.
+    """
+    if weights_npz is None:
+        weights_npz = os.environ.get("TPU_DIFFUSION_MPNN_WEIGHTS")
+    if weights_npz:
+        from tpu_diffusion.protein.mpnn import load_mpnn_scorer
+        return load_mpnn_scorer(npz_path=weights_npz)
+    if allow_random_init:
+        from tpu_diffusion.protein.mpnn import load_mpnn_scorer
+        return load_mpnn_scorer()
+    return None
 
 
 @dataclass
