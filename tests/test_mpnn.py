@@ -120,6 +120,34 @@ def test_integrates_with_self_consistency_stage(scorer, coords, tmp_path):
     assert (tmp_path / "protein_mpnn_seqs.csv").exists()
 
 
+def test_motif_fixed_design(scorer, coords):
+    """Reference motif semantics (evaluation_pipeline.py:434-482): motif
+    residues keep their native identity during design, decode before every
+    designable position, and are excluded from the NLL."""
+    from tpu_diffusion.protein.self_consistency import (ALPHABET,
+                                                        proteinmpnn_scores)
+    motif_inds = [2, 5, 9]
+    motif_res = "WHY"
+    scores, seqs = proteinmpnn_scores(coords, scorer, n_seq=2,
+                                      motif_inds=motif_inds,
+                                      motif_res=motif_res)
+    for seq in seqs:
+        assert [seq[i] for i in motif_inds] == list(motif_res)
+    assert np.all((scores > 0) & (scores <= 1))
+
+    # fixing the motif changes what gets designed elsewhere vs free design
+    free = scorer.sample(coords, seed=0)
+    fixed_mask = np.zeros(L, np.float32)
+    fixed_mask[motif_inds] = 1
+    fixed_tokens = np.zeros(L, np.int32)
+    for i, r in zip(motif_inds, motif_res):
+        fixed_tokens[i] = ALPHABET.index(r)
+    cond = scorer.sample(coords, seed=0, fixed_tokens=fixed_tokens,
+                         fixed_mask=fixed_mask)
+    assert np.all(cond[motif_inds] == fixed_tokens[motif_inds])
+    assert cond.shape == free.shape
+
+
 def _synthetic_state_dict(hidden=32, vocab=21):
     """The released checkpoint layout (ca_model_weights/*.pt keys) at tiny
     dims: every Linear as [out, in] + bias, LayerNorms, the embedding."""

@@ -291,7 +291,8 @@ def make_mpnn_fns(model: CAProteinMPNN, params):
     def score(coords, tokens, order, mask):
         return model.apply(params, coords, tokens, order, mask)
 
-    def sample(coords, order, key, mask, temperature=0.1):
+    def sample(coords, order, key, mask, init_tokens, fixed_mask,
+               temperature=0.1):
         L = coords.shape[0]
         h_v, h_e, e_idx, mask_attend = model.apply(
             params, coords, mask, method=CAProteinMPNN.encode)
@@ -303,10 +304,12 @@ def make_mpnn_fns(model: CAProteinMPNN, params):
             p = order[t]
             key, k = jax.random.split(key)
             tok = jax.random.categorical(k, lp[p] / temperature)
+            # fixed (motif) positions keep their given identity
+            tok = jnp.where(fixed_mask[p] > 0, tokens[p], tok)
             return (tokens.at[p].set(tok), key), None
 
-        init = (jnp.zeros(L, jnp.int32), key)
-        (tokens, _), _ = jax.lax.scan(step, init, jnp.arange(L))
+        (tokens, _), _ = jax.lax.scan(step, (init_tokens, key),
+                                      jnp.arange(L))
         return tokens
 
     return jax.jit(score), jax.jit(sample, static_argnames="temperature")
@@ -323,15 +326,34 @@ class MPNNScorer(ProteinMPNNScorer):
         self.temperature = float(temperature)
         self._score, self._sample = make_mpnn_fns(model, params)
 
-    def _order(self, length: int, seed: int):
-        return jax.random.permutation(jax.random.PRNGKey(seed), length)
+    def _order(self, length: int, seed: int,
+               fixed_mask: Optional[np.ndarray] = None):
+        perm = np.asarray(
+            jax.random.permutation(jax.random.PRNGKey(seed), length))
+        if fixed_mask is None:
+            return jnp.asarray(perm)
+        # fixed (motif) positions decode first -> every designed position
+        # conditions on the whole motif (reference create_backbone
+        # res_mask semantics, evaluation_pipeline.py:434-449)
+        fixed = np.asarray(fixed_mask)[perm] > 0
+        return jnp.asarray(np.concatenate([perm[fixed], perm[~fixed]]))
 
-    def sample(self, coords: np.ndarray, seed: int = 0) -> np.ndarray:
+    def sample(self, coords: np.ndarray, seed: int = 0,
+               fixed_tokens: Optional[np.ndarray] = None,
+               fixed_mask: Optional[np.ndarray] = None) -> np.ndarray:
         coords = jnp.asarray(coords, jnp.float32)
         L = coords.shape[0]
-        tokens = self._sample(coords, self._order(L, seed),
+        if fixed_mask is None:
+            fixed_mask = np.zeros(L, np.float32)
+        init = np.zeros(L, np.int32)
+        if fixed_tokens is not None:
+            init = np.where(np.asarray(fixed_mask) > 0,
+                            np.asarray(fixed_tokens, np.int32), init)
+        tokens = self._sample(coords, self._order(L, seed, fixed_mask),
                               jax.random.PRNGKey(seed + 1),
                               jnp.ones(L, jnp.float32),
+                              jnp.asarray(init),
+                              jnp.asarray(fixed_mask, jnp.float32),
                               temperature=self.temperature)
         return np.asarray(tokens)
 

@@ -75,7 +75,9 @@ class ProteinMPNNScorer:
       log_probs(coords, tokens, seed) -> [L, 21] log-softmax rows
     """
 
-    def sample(self, coords: np.ndarray, seed: int = 0) -> np.ndarray:
+    def sample(self, coords: np.ndarray, seed: int = 0,
+               fixed_tokens: Optional[np.ndarray] = None,
+               fixed_mask: Optional[np.ndarray] = None) -> np.ndarray:
         raise NotImplementedError
 
     def log_probs(self, coords: np.ndarray, tokens: np.ndarray,
@@ -132,8 +134,14 @@ class StubScorer(ProteinMPNNScorer):
         logits = logits - logits.max(-1, keepdims=True)
         return logits - np.log(np.sum(np.exp(logits), -1, keepdims=True))
 
-    def sample(self, coords: np.ndarray, seed: int = 0) -> np.ndarray:
-        return np.argmax(self._logits(coords, seed), -1)
+    def sample(self, coords: np.ndarray, seed: int = 0,
+               fixed_tokens: Optional[np.ndarray] = None,
+               fixed_mask: Optional[np.ndarray] = None) -> np.ndarray:
+        tokens = np.argmax(self._logits(coords, seed), -1)
+        if fixed_mask is not None and fixed_tokens is not None:
+            tokens = np.where(np.asarray(fixed_mask) > 0,
+                              np.asarray(fixed_tokens), tokens)
+        return tokens
 
     def log_probs(self, coords: np.ndarray, tokens: np.ndarray,
                   seed: int = 0) -> np.ndarray:
@@ -143,13 +151,29 @@ class StubScorer(ProteinMPNNScorer):
 
 def proteinmpnn_scores(coords: np.ndarray, scorer: ProteinMPNNScorer,
                        n_seq: int = 8,
-                       design_mask: Optional[np.ndarray] = None
+                       design_mask: Optional[np.ndarray] = None,
+                       motif_inds: Optional[Sequence[int]] = None,
+                       motif_res: Optional[str] = None
                        ) -> Tuple[np.ndarray, List[str]]:
     """Design + score one backbone (reference
     `calculate_proteinmpnn_scores`, :453-482): sample a sequence once, then
     re-score it under `n_seq` seeds; per-seed score = exp(-NLL) = the mean
-    per-residue probability the model assigns its own design."""
-    tokens = scorer.sample(coords, seed=0)
+    per-residue probability the model assigns its own design.
+
+    With a motif (`motif_inds` positions, `motif_res` one-letter codes),
+    those residues are FIXED to their native identities during design and
+    excluded from the NLL (reference `create_backbone` res_mask semantics,
+    :434-449 — `design_mask` is then derived, not passed)."""
+    fixed_tokens = fixed_mask = None
+    if motif_inds:
+        fixed_tokens = np.zeros(len(coords), np.int32)
+        fixed_mask = np.zeros(len(coords), np.float32)
+        for idx, res in zip(motif_inds, motif_res):
+            fixed_tokens[idx] = ALPHABET.index(res)
+            fixed_mask[idx] = 1.0
+        design_mask = 1.0 - fixed_mask
+    tokens = scorer.sample(coords, seed=0, fixed_tokens=fixed_tokens,
+                           fixed_mask=fixed_mask)
     scores = np.zeros(n_seq)
     seqs: List[str] = []
     for i in range(n_seq):
@@ -160,13 +184,17 @@ def proteinmpnn_scores(coords: np.ndarray, scorer: ProteinMPNNScorer,
 
 
 def run_proteinmpnn_eval(structures: Dict[str, np.ndarray],
-                         scorer: ProteinMPNNScorer, n_seq: int = 8
+                         scorer: ProteinMPNNScorer, n_seq: int = 8,
+                         motif_inds: Optional[Sequence[int]] = None,
+                         motif_res: Optional[str] = None
                          ) -> Tuple[List[np.ndarray], List[List[str]]]:
-    """Per-sample design scores + sequences (reference :484-513)."""
+    """Per-sample design scores + sequences (reference :484-513, incl.
+    its motif_inds/motif_res pass-through)."""
     scores, seqs = [], []
     for _, coords in structures.items():
         s, q = proteinmpnn_scores(np.asarray(coords, np.float64), scorer,
-                                  n_seq=n_seq)
+                                  n_seq=n_seq, motif_inds=motif_inds,
+                                  motif_res=motif_res)
         scores.append(s)
         seqs.append(q)
     return scores, seqs
@@ -260,7 +288,9 @@ def self_consistency_eval(structures: Dict[str, np.ndarray],
                           scorer: Optional[ProteinMPNNScorer] = None,
                           n_seq: int = 3,
                           colabfold_executable: str = "colabfold_batch",
-                          run_fold: Optional[bool] = None
+                          run_fold: Optional[bool] = None,
+                          motif_inds: Optional[Sequence[int]] = None,
+                          motif_res: Optional[str] = None
                           ) -> List[Dict[str, object]]:
     """Full self-consistency stage over evaluated structures: design ->
     score -> (optionally) refold -> extract, returning one row per sample
@@ -275,7 +305,9 @@ def self_consistency_eval(structures: Dict[str, np.ndarray],
         scorer = load_proteinmpnn_scorer()
     if scorer is None:
         return rows
-    scores, seqs = run_proteinmpnn_eval(structures, scorer, n_seq=n_seq)
+    scores, seqs = run_proteinmpnn_eval(structures, scorer, n_seq=n_seq,
+                                        motif_inds=motif_inds,
+                                        motif_res=motif_res)
     for row, s, q in zip(rows, scores, seqs):
         row["protein_mpnn_scores"] = s.tolist()
         row["protein_mpnn_seqs"] = q
