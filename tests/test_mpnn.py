@@ -188,6 +188,7 @@ def _synthetic_state_dict(hidden=32, vocab=21):
     return sd
 
 
+@pytest.mark.slow  # compiles two extra model instances (~37 s on this host)
 def test_state_dict_conversion_roundtrip(tmp_path, coords):
     """The converter consumes EXACTLY the public layout (unknown keys
     raise), produces a tree the model runs with, and the npz loader
@@ -231,6 +232,7 @@ def test_state_dict_conversion_roundtrip(tmp_path, coords):
         load_mpnn_scorer(npz_path=badpath, hidden=32, k=6)
 
 
+@pytest.mark.slow  # compiles the padded-length graph (~26 s on this host)
 def test_padding_invariance(scorer, coords):
     """Padded positions (mask 0) must not change real positions' rows —
     checked through the module API with an explicit mask."""
