@@ -70,6 +70,13 @@ def main(argv=None):
                                              make_optimizer, make_train_step)
 
     os.makedirs(args.workdir, exist_ok=True)
+    stop = os.path.join(args.workdir, "STOP")
+    if os.path.exists(stop):
+        # chip-time triage: a scheduler can cap open-ended extension runs
+        # (chain drivers grep for "done:") so higher-priority evidence
+        # runs get the chip before the round ends
+        print(f"[long_horizon] done: STOP file present ({stop})")
+        return 0
     mesh = make_mesh()
     ds = get_dataset("cifar10")("data", train=True)
     model = build_model(num_channels=args.num_channel)
