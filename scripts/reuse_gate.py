@@ -58,9 +58,22 @@ def main(argv=None):
             "--override", "testing.batch_size=16",
         ])
 
+    # Each (K, seed) eval is ~5 min of chip through a tunnel that drops
+    # for hours at a time: persist every row as it lands and skip combos
+    # a crashed prior invocation already measured.
+    rows_path = os.path.join(args.workdir, "rows.jsonl")
     rows = []
+    if os.path.exists(rows_path):
+        with open(rows_path) as f:
+            rows = [json.loads(line) for line in f if line.strip()]
+        if rows:
+            print(f"[reuse_gate] resuming with {len(rows)} persisted rows",
+                  flush=True)
+    done = {(r["K"], r["seed"]) for r in rows}
     for k in (int(v) for v in args.ks.split(",")):
         for seed in (int(v) for v in args.seeds.split(",")):
+            if (k, seed) in done:
+                continue
             cli_main.main(base + [
                 "--mode", "eval",
                 "--override", f"testing.encoder_reuse={k}",
@@ -75,6 +88,8 @@ def main(argv=None):
                    **{m: res.get(m) for m in
                       ("psnr_mean", "ssim_mean", "mse_mean")}}
             rows.append(row)
+            with open(rows_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
             print("[reuse_gate]", json.dumps(row), flush=True)
 
     import numpy as np

@@ -261,11 +261,71 @@ def test_cached_amortized_reuse1_bitwise_exact(ddpm):
     assert np.all(np.isfinite(np.asarray(cached2)))
 
 
-def test_cached_ddim_rejects_indivisible(ddpm):
+def test_cached_ddim_indivisible_reuse_matches_k1(ddpm):
+    """A non-dividing encoder_reuse runs the remainder as a shorter first
+    group (prologue) — 20 steps at K=3 is groups of [2, 3, 3, 3, 3, 3, 3].
+    With a cache-IGNORING decode, the grouping must not change the math:
+    every K must reproduce K=1 (up to compilation-variant rounding — the
+    prologue changes fusion boundaries), which pins the prologue's step
+    order and coefficient routing exactly."""
     from tpu_diffusion.sampling.ancestral import make_cached_ddim_sampler
+
+    abar = ddpm.alphas_cumprod
+
+    def encode_fn(xi, i):
+        return ()
+
+    def decode_fn(xi, i, cache):  # exact eps for x0 = 0; ignores cache
+        s = jnp.sqrt(1.0 - abar[i]).reshape((-1,) + (1,) * (xi.ndim - 1))
+        return xi / jnp.maximum(s, 1e-6)
+
+    xT = jax.random.normal(jax.random.PRNGKey(2), (B, H, W, C))
+    ref = make_cached_ddim_sampler(encode_fn, decode_fn, ddpm,
+                                   num_steps=20, encoder_reuse=1)(
+        jax.random.PRNGKey(3), xT)
+    for reuse in (3, 7, 64):  # 64 > num_steps=20: single-prologue chain
+        x0 = make_cached_ddim_sampler(encode_fn, decode_fn, ddpm,
+                                      num_steps=20, encoder_reuse=reuse)(
+            jax.random.PRNGKey(3), xT)
+        np.testing.assert_allclose(np.asarray(x0), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
     with pytest.raises(ValueError):
-        make_cached_ddim_sampler(lambda x, i: None, lambda x, i, c: None,
-                                 ddpm, num_steps=10, encoder_reuse=3)
+        make_cached_ddim_sampler(encode_fn, decode_fn, ddpm,
+                                 num_steps=10, encoder_reuse=0)
+
+
+def test_cached_amortized_indivisible_reuse_matches_k1(ddpm):
+    """make_cached_amortized_sampler at K=3 (100 % 3 = 1 prologue step):
+    with a cache-ignoring decode the PRNG stream and update math are
+    identical to K=1, so the outputs must match up to compilation-variant
+    rounding — the stochastic twin of the DDIM prologue pin above."""
+    from tpu_diffusion.sampling.ancestral import (
+        make_cached_amortized_sampler)
+
+    lik = InPainting(patch_size=4, pad_value=-2.0)
+    cond = Amortized(n_corrector=1, delta=0.1)
+    abar = ddpm.alphas_cumprod
+
+    def encode_fn(x_cat, i):
+        return ()
+
+    def decode_fn(x_cat, i, cache):
+        xi = x_cat[..., :C]
+        s = jnp.sqrt(1.0 - abar[i]).reshape((-1,) + (1,) * (xi.ndim - 1))
+        return xi / jnp.maximum(s, 1e-6)
+
+    truth = _images(jax.random.PRNGKey(4))
+    condition = lik.sample(jax.random.PRNGKey(5), truth)
+    xT = jax.random.normal(jax.random.PRNGKey(6), (B, H, W, C))
+    ref = make_cached_amortized_sampler(
+        encode_fn, decode_fn, ddpm, cond, lik, encoder_reuse=1)(
+        jax.random.PRNGKey(7), xT, condition)
+    for reuse in (3, 7):
+        x0 = make_cached_amortized_sampler(
+            encode_fn, decode_fn, ddpm, cond, lik, encoder_reuse=reuse)(
+            jax.random.PRNGKey(7), xT, condition)
+        np.testing.assert_allclose(np.asarray(x0), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
 
 
 def test_replacement_sampler_pins_observed_pixels(ddpm):

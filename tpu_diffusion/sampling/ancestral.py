@@ -186,12 +186,19 @@ def make_cached_amortized_sampler(encode_fn: Callable, decode_fn: Callable,
     CONDITIONED cache, whereas the reference (and the plain sampler here)
     runs the corrector unconditioned (sampling.py:113-121 with cond=None);
     an unconditioned corrector would need a second encoder pass per
-    refresh, defeating the cache."""
-    if ddpm.num_steps % encoder_reuse:
-        raise ValueError(f"num_steps={ddpm.num_steps} must divide by "
-                         f"encoder_reuse={encoder_reuse}")
-    groups = jnp.arange(ddpm.num_steps - 1, -1, -1).reshape(
-        ddpm.num_steps // encoder_reuse, encoder_reuse)
+    refresh, defeating the cache.
+
+    `encoder_reuse` need not divide `num_steps`: the remainder runs as a
+    shorter FIRST group at the high-noise end of the chain (one extra
+    encoder refresh where the iterate changes fastest), then the uniform
+    K-sized groups run in one `lax.scan` — all shapes stay static."""
+    if encoder_reuse < 1:
+        raise ValueError(f"encoder_reuse={encoder_reuse} must be >= 1")
+    rem = ddpm.num_steps % encoder_reuse
+    idx = jnp.arange(ddpm.num_steps - 1, -1, -1)
+    head = idx[:rem]
+    groups = idx[rem:].reshape((ddpm.num_steps - rem) // encoder_reuse,
+                               encoder_reuse)
 
     def sample(key: Array, xT: Array, condition: Array) -> Array:
         enc = lambda xi, ib: encode_fn(
@@ -199,10 +206,9 @@ def make_cached_amortized_sampler(encode_fn: Callable, decode_fn: Callable,
         dec = lambda xi, ib, cache: decode_fn(
             jnp.concatenate([xi, condition], axis=-1), ib, cache)
 
-        def body(carry, idx_row):
-            xi, key = carry
+        def run_group(xi, key, idx_row, n):
             cache = None
-            for j in range(encoder_reuse):
+            for j in range(n):
                 ib = _batched(idx_row[j], xi.shape[0])
                 # key discipline mirrors _reverse_scan + the amortized
                 # step exactly, so encoder_reuse=1 is bitwise-identical
@@ -215,9 +221,16 @@ def make_cached_amortized_sampler(encode_fn: Callable, decode_fn: Callable,
                 xi = _posterior_step(k1, ddpm, x0_model(xi, ib), xi, ib)
                 xi = _corrector_steps(k2, x0_model, ddpm, xi, ib,
                                       cond.n_corrector, cond.delta)
+            return xi, key
+
+        def body(carry, idx_row):
+            xi, key = run_group(*carry, idx_row, encoder_reuse)
             return (xi, key), None
 
-        (x0, _), _ = jax.lax.scan(body, (xT, key), groups)
+        xi = xT
+        if rem:
+            xi, key = run_group(xi, key, head, rem)
+        (x0, _), _ = jax.lax.scan(body, (xi, key), groups)
         return process_x0(x0)
 
     return sample
@@ -414,13 +427,17 @@ def make_cached_ddim_sampler(encode_fn: Callable, decode_fn: Callable,
 
     The step grid is processed in groups of `encoder_reuse` inside one
     `lax.scan` (inner steps unrolled), keeping the whole chain one compiled
-    program like every other sampler here.
+    program like every other sampler here. A non-dividing `encoder_reuse`
+    runs the remainder as a shorter first group at the high-noise end
+    (same scheme as `make_cached_amortized_sampler`).
     """
-    if num_steps % encoder_reuse:
-        raise ValueError(f"num_steps={num_steps} must divide by "
-                         f"encoder_reuse={encoder_reuse}")
+    if encoder_reuse < 1:
+        raise ValueError(f"encoder_reuse={encoder_reuse} must be >= 1")
+    rem = num_steps % encoder_reuse
     per_step = _ddim_per_step(ddpm, num_steps, eta)
-    groups = per_step.reshape(num_steps // encoder_reuse, encoder_reuse, -1)
+    head = per_step[:rem]
+    groups = per_step[rem:].reshape((num_steps - rem) // encoder_reuse,
+                                    encoder_reuse, per_step.shape[-1])
 
     def sample(key: Array, xT: Array,
                condition: Optional[Array] = None) -> Array:
@@ -433,19 +450,25 @@ def make_cached_ddim_sampler(encode_fn: Callable, decode_fn: Callable,
             dec = lambda xi, i, cache: decode_fn(
                 jnp.concatenate([xi, condition], axis=-1), i, cache)
 
-        def body(carry, rows):
-            xi, key = carry
+        def run_group(xi, key, rows, n):
             cache = None
-            for j in range(encoder_reuse):
+            for j in range(n):
                 row = rows[j]
                 ib = jnp.full((xi.shape[0],), row[0].astype(jnp.int32))
                 if j == 0:
                     cache = enc(xi, ib)
                 eps = dec(xi, ib, cache)
                 xi, key = _ddim_update(xi, eps, row, key, eta)
+            return xi, key
+
+        def body(carry, rows):
+            xi, key = run_group(*carry, rows, encoder_reuse)
             return (xi, key), None
 
-        (x0, _), _ = jax.lax.scan(body, (xT, key), groups)
+        xi = xT
+        if rem:
+            xi, key = run_group(xi, key, head, rem)
+        (x0, _), _ = jax.lax.scan(body, (xi, key), groups)
         return process_x0(x0)
 
     return sample
