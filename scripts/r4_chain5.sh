@@ -89,6 +89,11 @@ if [ ! -e results_reuse_gate/bench_by_k.jsonl ]; then
   done
 fi
 
+# Measured HBM-traffic attribution from the chip's own optimized HLO —
+# closes the architecture accounting's 12% residual (compile-only, fast).
+run_step hlo_traffic results_reuse_gate/hlo_traffic.json 1800 \
+  python scripts/hlo_traffic.py --out results_reuse_gate/hlo_traffic.json
+
 run_step fid50k_dopri5 results_fid50k/fid50k_dopri5.json 14000 \
   python scripts/fid50k.py --input_dir results_fid50k
 
