@@ -121,12 +121,14 @@ def main():
     def eps_fn(xi, i):
         return model.apply(params, xi, i.astype(jnp.float32) / 1000.0)
 
-    # Encoder-reuse K=2 ("Faster Diffusion", PAPERS.md) is the bench
-    # default since r3: accepted on trained-model FID evidence — K=2
-    # shifts FID by +0.05 where the seed-to-seed noise floor is 0.71
-    # (PERF.md "Encoder-reuse decision"). K=1 (bitwise-plain DDIM) via
+    # Encoder-reuse K=3 ("Faster Diffusion", PAPERS.md) is the bench
+    # default since r4: the 2-seed trained-model FID gate passes K=3
+    # (mean-FID delta vs K=1 0.118 < the 0.145 K=1 seed spread) and
+    # rejects K=4 (delta 0.170); K=3 benches 132.3 vs K=2's 126.5
+    # samples/s (PERF.md "Encoder-reuse gate, r4";
+    # results_reuse_gate/). K=1 (bitwise-plain DDIM) via
     # TPU_DIFFUSION_BENCH_REUSE=1.
-    reuse = int(os.environ.get("TPU_DIFFUSION_BENCH_REUSE", "2"))
+    reuse = int(os.environ.get("TPU_DIFFUSION_BENCH_REUSE", "3"))
     if reuse > 1:
         from tpu_diffusion.sampling.ancestral import make_cached_ddim_sampler
 

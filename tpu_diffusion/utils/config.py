@@ -193,12 +193,12 @@ def get_config(spec: str = "mnist,inpainting,amortized"
     config.testing.batch_size = 32
     config.testing.seed = 0
     # refresh the UNet encoder cache every K-th reverse step during
-    # amortized conditional sampling (arXiv:2312.09608). Default 2 since
-    # r3: accepted on trained-model FID evidence — K=2 moves FID by +0.05
-    # against a 0.71 seed-to-seed noise floor, for an 18% eval-time cut
-    # (PERF.md "Encoder-reuse decision"). Set 1 for the bitwise-exact
-    # plain sampler (reference protocol).
-    config.testing.encoder_reuse = 2
+    # amortized conditional sampling (arXiv:2312.09608). Default 3 since
+    # r4: the 2-seed FID gate passes K=3 (mean-FID delta vs K=1 0.118 <
+    # the 0.145 K=1 seed spread) and rejects K=4 (0.170), and K=3 benches
+    # 4.6% faster than K=2 (PERF.md "Encoder-reuse gate, r4"). Set 1 for
+    # the bitwise-exact plain sampler (reference protocol).
+    config.testing.encoder_reuse = 3
 
     # parallelism (new: mesh layout, SURVEY §5.7/§5.8). model_axis > 1
     # shards UNet channel dims over the mesh "model" axis (tensor
