@@ -123,7 +123,8 @@ def test_integrates_with_self_consistency_stage(scorer, coords, tmp_path):
 def test_motif_fixed_design(scorer, coords):
     """Reference motif semantics (evaluation_pipeline.py:434-482): motif
     residues keep their native identity during design, decode before every
-    designable position, and are excluded from the NLL."""
+    designable position, and are INCLUDED in the NLL (the reference scores
+    with the validity mask `inpt["mask"]`, :476 — not res_mask)."""
     from tpu_diffusion.protein.self_consistency import (ALPHABET,
                                                         proteinmpnn_scores)
     motif_inds = [2, 5, 9]
@@ -134,6 +135,28 @@ def test_motif_fixed_design(scorer, coords):
     for seq in seqs:
         assert [seq[i] for i in motif_inds] == list(motif_res)
     assert np.all((scores > 0) & (scores <= 1))
+
+    # mismatched / absent motif_res is a hard error, not silent truncation
+    with pytest.raises(ValueError):
+        proteinmpnn_scores(coords, scorer, n_seq=1, motif_inds=motif_inds,
+                           motif_res="WH")
+    with pytest.raises(ValueError):
+        proteinmpnn_scores(coords, scorer, n_seq=1, motif_inds=motif_inds,
+                           motif_res=None)
+
+    # all-residue scoring: the motif-mode score must equal re-scoring the
+    # SAME tokens with no design_mask restriction (exp(-NLL) over every
+    # residue), i.e. motif positions are not excluded.
+    ft = np.zeros(L, np.int32)
+    fm = np.zeros(L, np.float32)
+    for i, r in zip(motif_inds, motif_res):
+        ft[i] = ALPHABET.index(r)
+        fm[i] = 1.0
+    tok = scorer.sample(coords, seed=0, fixed_tokens=ft, fixed_mask=fm)
+    from tpu_diffusion.protein.self_consistency import nll_score
+    lp = scorer.log_probs(coords, tok, seed=0)
+    expected = float(np.exp(-nll_score(tok, lp, None)))
+    assert np.isclose(scores[0], expected, rtol=1e-6)
 
     # fixing the motif changes what gets designed elsewhere vs free design
     free = scorer.sample(coords, seed=0)

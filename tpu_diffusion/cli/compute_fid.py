@@ -99,6 +99,12 @@ def main(argv=None):
             dopri5_kwargs = {"fixed_trip_count": True, "max_steps": 128}
         else:
             dopri5_kwargs = {}
+            if jax.default_backend() not in ("cpu", "gpu"):
+                print("[compute_fid] WARNING: --dopri5_fixed_trip false "
+                      "selects the dynamic lax.while_loop integrator, "
+                      "which HANGS on the axon TPU backend (CLAUDE.md); "
+                      "use 'auto' or 'true' on this platform.",
+                      flush=True)
         if dopri5_kwargs.get("fixed_trip_count"):
             # TPU pays all 6*max_steps NFE of the masked scan — size the
             # budget from one CPU probe of the real controller instead of

@@ -161,17 +161,24 @@ def proteinmpnn_scores(coords: np.ndarray, scorer: ProteinMPNNScorer,
     per-residue probability the model assigns its own design.
 
     With a motif (`motif_inds` positions, `motif_res` one-letter codes),
-    those residues are FIXED to their native identities during design and
-    excluded from the NLL (reference `create_backbone` res_mask semantics,
-    :434-449 — `design_mask` is then derived, not passed)."""
+    those residues are FIXED to their native identities during design
+    (reference `create_backbone` res_mask semantics, :434-449) but still
+    INCLUDED in the NLL: the reference scores with `mask=inpt["mask"]`
+    (:476), the BackboneSample VALIDITY mask — all residues — while
+    res_mask only gates which positions are designable. `design_mask`
+    therefore stays as passed (None = score every residue)."""
     fixed_tokens = fixed_mask = None
     if motif_inds:
+        if motif_res is None or len(motif_res) != len(motif_inds):
+            raise ValueError(
+                f"motif_inds ({len(motif_inds)} positions) requires "
+                f"motif_res of equal length, got "
+                f"{None if motif_res is None else len(motif_res)}")
         fixed_tokens = np.zeros(len(coords), np.int32)
         fixed_mask = np.zeros(len(coords), np.float32)
         for idx, res in zip(motif_inds, motif_res):
             fixed_tokens[idx] = ALPHABET.index(res)
             fixed_mask[idx] = 1.0
-        design_mask = 1.0 - fixed_mask
     tokens = scorer.sample(coords, seed=0, fixed_tokens=fixed_tokens,
                            fixed_mask=fixed_mask)
     scores = np.zeros(n_seq)

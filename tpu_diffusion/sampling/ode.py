@@ -206,7 +206,11 @@ def odeint_dopri5(v: VField, x0: Array, t0: float = 0.0, t1: float = 1.0,
 
 class Dopri5Chunked:
     """Fixed-trip-count dopri5 split into `chunk_steps`-length device
-    executions, bitwise-identical to the single masked scan.
+    executions, bitwise-identical to a single masked scan of
+    `n_segments * chunk_steps` trips (`max_steps` rounded UP to whole
+    segments — a trajectory still unconverged at the requested budget
+    gets up to `chunk_steps - 1` extra trips and correspondingly higher
+    NFE than `odeint_dopri5(max_steps=budget)` would report).
 
     Why: the axon TPU tunnel kills a single device execution that runs for
     minutes. At the reference FID protocol's scale (batch 1024,
