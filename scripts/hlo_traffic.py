@@ -167,9 +167,9 @@ def attribute(text: str):
                          if r in sizes)
             cat = categorize(opcode, rest, comps)
             cats[cat] = cats.get(cat, 0) + out_b + opnd_b
-            if out_b + opnd_b > 16 << 20:
-                detail.append((cat, opcode, round((out_b + opnd_b) / 1e6),
-                               shape.split("{")[0]))
+            if out_b + opnd_b > 2 << 20:
+                detail.append((cat, opcode, round((out_b + opnd_b) / 1e6, 1),
+                               shape.split("{")[0], name))
     return cats, detail
 
 
@@ -181,10 +181,21 @@ def main(argv=None):
                         "compiling (offline/parser testing)")
     p.add_argument("--out", default=None, help="write JSON here too")
     p.add_argument("--top", type=int, default=12)
+    p.add_argument("--save_hlo", default=None,
+                   help="gzip the optimized HLO text here — one chip "
+                        "compile buys unlimited offline --dump analysis")
+    p.add_argument("--detail_category", default=None,
+                   help="restrict top_instructions_mb to one category "
+                        "(e.g. layout_copy) and include instruction names")
     args = p.parse_args(argv)
 
     if args.dump:
-        text = open(args.dump).read()
+        if args.dump.endswith(".gz"):
+            import gzip
+            with gzip.open(args.dump, "rt") as f:
+                text = f.read()
+        else:
+            text = open(args.dump).read()
         cost_bytes = None
         backend = "dump"
     else:
@@ -227,7 +238,16 @@ def main(argv=None):
             cost_bytes = None
         backend = str(jax.devices()[0])
 
+    if args.save_hlo:
+        import gzip
+        with gzip.open(args.save_hlo, "wt") as f:
+            f.write(text)
+        print(f"[hlo_traffic] optimized HLO saved to {args.save_hlo}",
+              file=sys.stderr)
+
     cats, detail = attribute(text)
+    if args.detail_category:
+        detail = [d for d in detail if d[0] == args.detail_category]
     total = sum(cats.values())
     out = {
         "backend": backend,
@@ -241,8 +261,8 @@ def main(argv=None):
                  "bytes; fusion bodies free — the physical-traffic model "
                  "behind XLA's 'bytes accessed'"),
         "top_instructions_mb": [
-            {"category": c, "opcode": o, "mb": mb, "shape": s}
-            for (c, o, mb, s) in
+            {"category": c, "opcode": o, "mb": mb, "shape": s, "name": n}
+            for (c, o, mb, s, n) in
             sorted(detail, key=lambda r: -r[2])[:args.top]],
     }
     js = json.dumps(out, indent=2)
