@@ -201,6 +201,22 @@ def main():
     dt = (time.perf_counter() - t0) / n_iters
 
     samples_per_sec = BATCH / dt
+
+    # companion K=1 number (bitwise-plain DDIM, the reference protocol):
+    # the bench JSON carries BOTH so the headline's encoder-reuse gating
+    # is auditable without a re-run (r4 verdict weak-item 2)
+    samples_per_sec_k1 = None
+    if reuse > 1:
+        plain = jax.jit(make_ddim_sampler(eps_fn, ddpm,
+                                          num_steps=DDIM_STEPS))
+        pc = plain.lower(key, xT).compile()
+        o = pc(key, xT)
+        _ = float(np.asarray(o).ravel()[0])
+        t1 = time.perf_counter()
+        for i in range(n_iters):
+            o = pc(jax.random.fold_in(key, 100 + i), xT)
+        _ = float(np.asarray(o).ravel()[0])
+        samples_per_sec_k1 = BATCH / ((time.perf_counter() - t1) / n_iters)
     mfu = program_flops / dt / V5E_BF16_PEAK if program_flops else 0.0
     t_floor = max(total_flops / V5E_BF16_PEAK,
                   min_bytes_total / V5E_HBM_BW)
@@ -221,6 +237,8 @@ def main():
         "ddim_steps": DDIM_STEPS,
         "mfu": round(mfu, 4),
         "encoder_reuse": reuse,
+        "samples_per_sec_k1": (round(samples_per_sec_k1, 2)
+                               if samples_per_sec_k1 else None),
         "roofline_ratio_hlo": round(ratio_hlo, 4),
         "workload_gflops": round(total_flops / 1e9, 2),
         "program_gflops": round(program_flops / 1e9, 2),

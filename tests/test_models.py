@@ -112,3 +112,29 @@ def test_resblock_updown_variant():
     t = jnp.zeros((1,))
     params = model.init(jax.random.PRNGKey(0), x, t)
     assert model.apply(params, x, t).shape == (1, 16, 16, 3)
+
+
+def test_attention_decision_log(small_model_and_params):
+    """attn_decisions records each AttentionBlock impl resolution at trace
+    time (the sp_decisions pattern) — harness code asserts flash engagement
+    from this instead of trusting the 'auto' heuristic silently falling
+    back (scripts/sr256_bench.py)."""
+    from tpu_diffusion.models.unet import attn_decisions, reset_attn_decisions
+    model, params = small_model_and_params
+    reset_attn_decisions()
+    x = jnp.zeros((2, 28, 28, 1))
+    t = jnp.zeros((2,))
+    # decisions are appended when __call__ executes (eagerly or at trace
+    # time); jax.jit(model.apply) can HIT the jit cache from an earlier
+    # test (bound methods compare equal) and skip tracing entirely, so
+    # drive the module eagerly here
+    model.apply(params, x, t)
+    ds = attn_decisions()
+    assert ds, "no attention decisions recorded"
+    # attention_resolutions="14" on a 28px model -> T=196 grids, plus the
+    # always-attending middle block at the 7x7 bottleneck (T=49)
+    assert {d["tokens"] for d in ds} <= {196, 49}
+    assert 196 in {d["tokens"] for d in ds}
+    assert all(d["impl"] == "xla" for d in ds)  # CPU: auto resolves to xla
+    reset_attn_decisions()
+    assert attn_decisions() == []

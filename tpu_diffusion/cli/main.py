@@ -90,7 +90,15 @@ def build(config, mesh=None):
                 conditioning=conditioning, in_channels=in_channels)
 
 
+# set by init_state: tensors copied by the last network.model_path
+# warm-start (0 = none) — lets --mode eval distinguish "evaluating
+# warm-started pretrained weights" from "evaluating random init"
+_LAST_WARM_START = 0
+
+
 def init_state(config, parts, rng):
+    global _LAST_WARM_START
+    _LAST_WARM_START = 0
     dsc = config.dataset
     x = jnp.zeros((1, dsc.image_size, dsc.image_size, parts["in_channels"]))
     params = jax.jit(parts["model"].init)(rng, x, jnp.zeros((1,)))
@@ -110,6 +118,7 @@ def init_state(config, parts, rng):
             src = loaded.get("ema", loaded.get("params", loaded)) \
                 if isinstance(loaded, dict) else loaded
             params, n_copied, n_skipped = load_matching_params(params, src)
+            _LAST_WARM_START = n_copied
             print(f"[main] warm-start from {model_path!r}: "
                   f"{n_copied} tensors copied, {n_skipped} skipped")
     tx = make_optimizer(config.training.learning_rate,
@@ -400,7 +409,16 @@ def main(argv: Optional[list] = None):
                 {"params": state.params, "ema": state.ema.params,
                  "step": 0})
             ema_params = assets["ema"]
-            if not restored_step:
+            if not restored_step and _LAST_WARM_START:
+                # no checkpoint in this workdir but network.model_path
+                # warm-started the params: this is the sweep pattern —
+                # evaluate a foreign trained checkpoint under this
+                # config's conditioning (reference: shared unconditional
+                # weights across recon-guidance/replacement cells)
+                print(f"[main] --mode eval: no local checkpoint; "
+                      f"evaluating the {_LAST_WARM_START}-tensor "
+                      f"warm-start from network.model_path")
+            elif not restored_step:
                 # a fresh version dir has an empty ckpt dir: ckpt.load
                 # returns the random-init assets — evaluating those
                 # silently would produce a plausible-looking results.json

@@ -95,8 +95,11 @@ def aggregate(rows: List[Dict], groupby: List[str],
         return float(stats.t.ppf((1 + confidence) / 2, len(x) - 1)
                      * x.std(ddof=1) / np.sqrt(len(x)))
 
-    agg = df.groupby(groupby)[result_cols].agg(["mean", "std", "count",
-                                                t_ci])
+    # dropna=False: grids whose cells have heterogeneous config keys
+    # (e.g. conditioning.gamma exists only for reconstruction_guidance
+    # rows) must keep the rows where a groupby key is absent
+    agg = df.groupby(groupby, dropna=False)[result_cols].agg(
+        ["mean", "std", "count", t_ci])
     agg.columns = ["_".join(c if isinstance(c, tuple) else (c,))
                    .replace("t_ci", f"ci{int(confidence*100)}")
                    for c in agg.columns]

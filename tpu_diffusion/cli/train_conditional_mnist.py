@@ -58,6 +58,36 @@ def labeled_batches(ds, batch_size: int, seed: int = 0):
             yield {"x": ds.images[idx], "y": ds.labels[idx]}
 
 
+def class_consistency(gen: np.ndarray, labels: np.ndarray,
+                      templates: np.ndarray) -> dict:
+    """Nearest-template classification of generated digits.
+
+    `templates` [K,H,W,C] are per-class mean images of the training set;
+    a generated image is "consistent" when its nearest template (MSE) is
+    its conditioning class. Measurable without real MNIST: the synthetic
+    fallback gives each class a distinct blob position + texture frequency
+    (data/registry.py:synthetic_images), so the per-class means separate.
+    Returns overall accuracy, per-class accuracy, and the mean PSNR of
+    each image against its OWN class template."""
+    d = ((gen[:, None] - templates[None]) ** 2).mean(axis=(2, 3, 4))  # [N,K]
+    pred = d.argmin(axis=1)
+    own = d[np.arange(len(gen)), labels]
+    acc_per_class = [float((pred[labels == k] == k).mean())
+                     if (labels == k).any() else None
+                     for k in range(len(templates))]
+    return {
+        "accuracy": float((pred == labels).mean()),
+        "per_class_accuracy": acc_per_class,
+        "psnr_to_own_template": float(np.mean(
+            10.0 * np.log10(4.0 / np.maximum(own, 1e-10)))),
+    }
+
+
+def class_templates(ds) -> np.ndarray:
+    return np.stack([ds.images[ds.labels == k].mean(axis=0)
+                     for k in range(NUM_CLASSES)])
+
+
 def sf2m_generative_sde(flow_apply, score_apply, key, x0, y, sigma: float,
                         num_steps: int = 100):
     """dx = [v + sigma^2/2 score] dt + sigma dW, t: 0 -> 1 (EM scan)."""
@@ -149,6 +179,8 @@ def main(argv=None):
     state = TrainState.create(params, tx, rng)
     train_step = make_train_step(loss_fn, tx, ema_decay=args.ema_decay)
     ckpt = CheckpointManager(os.path.join(savedir, "ckpt"), maximum=2)
+    templates = class_templates(ds)
+    class_trend: list = []
 
     def sample_grid(step, state, **kw):
         p = state.ema.params
@@ -166,8 +198,18 @@ def main(argv=None):
             imgs, _ = odeint(v, x0, method="euler",
                              num_steps=args.sample_steps)
             imgs = jnp.clip(imgs, -1, 1)
-        writer.write_images(step, {f"{args.variant}_classes":
-                                   np.asarray(imgs)}),
+        imgs_np = np.asarray(imgs)
+        writer.write_images(step, {f"{args.variant}_classes": imgs_np})
+        # per-class consistency trend (nearest-template classification)
+        row = {"step": int(step),
+               **class_consistency(imgs_np, np.asarray(y), templates)}
+        class_trend.append(row)
+        with open(os.path.join(savedir, "class_trend.json"), "w") as f:
+            import json
+            json.dump(class_trend, f, indent=2)
+        print(f"[train_conditional_mnist] step {step} class-consistency "
+              f"acc={row['accuracy']:.3f} "
+              f"psnr_own={row['psnr_to_own_template']:.2f}", flush=True)
         ckpt.save(step, jax.tree.map(np.asarray, {
             "params": state.params, "ema": state.ema.params,
             "step": step}))

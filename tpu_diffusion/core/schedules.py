@@ -222,10 +222,13 @@ class DDPM:
         if betas is None:
             betas = linear_vpsde_betas(num_steps, tmin=tmin, tmax=tmax)
         betas = np.asarray(betas, np.float64)
-        if not (np.all(betas > 0) and np.all(betas <= 1)):
-            # validity asserts mirroring src/diffusion/schedule_discrete.py
+        if not (np.all(betas > 0) and np.all(betas < 1)):
+            # validity asserts mirroring src/diffusion/schedule_discrete.py;
+            # strictly < 1: beta == 1 makes alpha_cumprod exactly 0 and the
+            # 1/abar buffers silently NaN (hit at num_steps == 20, where
+            # the scaled-linear schedule's last beta is exactly 1.0)
             raise ValueError(
-                f"betas must lie in (0, 1]; got range [{betas.min():.4g}, "
+                f"betas must lie in (0, 1); got range [{betas.min():.4g}, "
                 f"{betas.max():.4g}] (the discretized VP-SDE schedule needs "
                 f"num_steps > beta_max = 20)")
         ts = np.linspace(tmin, tmax, num_steps, dtype=np.float64)

@@ -28,6 +28,22 @@ from tpu_diffusion.models.nn import (FusedNormAct, GroupNorm32, avg_pool_2x,
 
 Array = jax.Array
 
+# Trace-time attention-impl log (same pattern as parallel.sp.sp_decisions):
+# every AttentionBlock impl resolution is recorded so harness code (the
+# 256px stretch bench, tests) can ASSERT the flash path actually engaged
+# instead of trusting the "auto" heuristic silently falling back.
+_ATTN_DECISIONS: list = []
+
+
+def reset_attn_decisions() -> None:
+    _ATTN_DECISIONS.clear()
+
+
+def attn_decisions() -> list:
+    """[{"impl": "pallas"|"xla"|"ring", "tokens": T, "heads": H}, ...] in
+    trace order since the last reset."""
+    return list(_ATTN_DECISIONS)
+
 
 class ResBlock(nn.Module):
     """Residual block with FiLM time conditioning
@@ -141,9 +157,13 @@ class AttentionBlock(nn.Module):
                 sp_out = maybe_sequence_parallel(q, k, v, self.sp_mesh)
             if sp_out is not None:
                 out = sp_out
+                _ATTN_DECISIONS.append({"impl": "ring", "tokens": h * w,
+                                        "heads": heads})
             elif impl == "pallas":
                 from tpu_diffusion.kernels.attention import flash_attention
                 out = flash_attention(q, k, v)
+                _ATTN_DECISIONS.append({"impl": "pallas", "tokens": h * w,
+                                        "heads": heads})
             # else: sp declined (token count not divisible by the model
             # axis) and impl resolved to XLA — fall through to the dense
             # path below rather than forcing the flash kernel (which
@@ -156,6 +176,8 @@ class AttentionBlock(nn.Module):
             # [b,T,heads,d] <-> [b,heads,T,d] copies bracket the einsums —
             # they were part of the 9% copy/layout time in the DDIM
             # profile (PERF.md).
+            _ATTN_DECISIONS.append({"impl": "xla", "tokens": h * w,
+                                    "heads": heads})
             r = qkv.reshape(b, h * w, 3, heads, head_dim)
             q, k, v = r[:, :, 0], r[:, :, 1], r[:, :, 2]  # [b, T, heads, d]
             scale = head_dim ** -0.5
