@@ -168,8 +168,20 @@ def attribute(text: str):
             cat = categorize(opcode, rest, comps)
             cats[cat] = cats.get(cat, 0) + out_b + opnd_b
             if out_b + opnd_b > 2 << 20:
+                m = re.search(r'op_name="([^"]*)"', rest)
+                op = m.group(1) if m else ""
+                if not op and opcode == "fusion":
+                    # fusion lines carry no metadata; use the body root's
+                    mc = re.search(r"calls=%?([\w.\-]+)", rest)
+                    if mc and mc.group(1) in comps:
+                        body = comps[mc.group(1)]
+                        for (_, _, _, brest) in reversed(body):
+                            mb_ = re.search(r'op_name="([^"]*)"', brest)
+                            if mb_:
+                                op = mb_.group(1)
+                                break
                 detail.append((cat, opcode, round((out_b + opnd_b) / 1e6, 1),
-                               shape.split("{")[0], name))
+                               shape.split("{")[0], name, op))
     return cats, detail
 
 
@@ -261,8 +273,9 @@ def main(argv=None):
                  "bytes; fusion bodies free — the physical-traffic model "
                  "behind XLA's 'bytes accessed'"),
         "top_instructions_mb": [
-            {"category": c, "opcode": o, "mb": mb, "shape": s, "name": n}
-            for (c, o, mb, s, n) in
+            {"category": c, "opcode": o, "mb": mb, "shape": s, "name": n,
+             "op_name": op}
+            for (c, o, mb, s, n, op) in
             sorted(detail, key=lambda r: -r[2])[:args.top]],
     }
     js = json.dumps(out, indent=2)
