@@ -103,12 +103,15 @@ def analytic_min_bytes(model, params, x, t) -> int:
 
 
 def main():
+    # attention impl knob for on-chip A/B runs ("xla" | "pallas_fused" |
+    # "pallas"); the default is whatever measured fastest (PERF.md)
+    attn_impl = os.environ.get("TPU_DIFFUSION_BENCH_ATTN", "xla")
     model = create_model(
         image_size=32, num_channels=128, num_res_blocks=2, in_channels=3,
         channel_mult=(1, 2, 2, 2), num_heads=4,
         attention_resolutions="16", dropout=0.0,
         use_scale_shift_norm=True, dtype=jnp.bfloat16,
-        norm_dtype=jnp.bfloat16, attention_impl="xla")
+        norm_dtype=jnp.bfloat16, attention_impl=attn_impl)
     x = jnp.zeros((BATCH, 32, 32, 3), jnp.float32)
     t = jnp.zeros((BATCH,))
     params = model.init(jax.random.PRNGKey(0), x, t)
@@ -237,6 +240,7 @@ def main():
         "ddim_steps": DDIM_STEPS,
         "mfu": round(mfu, 4),
         "encoder_reuse": reuse,
+        "attention_impl": attn_impl,
         "samples_per_sec_k1": (round(samples_per_sec_k1, 2)
                                if samples_per_sec_k1 else None),
         "roofline_ratio_hlo": round(ratio_hlo, 4),

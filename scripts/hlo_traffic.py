@@ -226,7 +226,9 @@ def main(argv=None):
             in_channels=3, channel_mult=(1, 2, 2, 2), num_heads=4,
             attention_resolutions="16", dropout=0.0,
             use_scale_shift_norm=True, dtype=jnp.bfloat16,
-            norm_dtype=jnp.bfloat16, attention_impl="xla")
+            norm_dtype=jnp.bfloat16,
+            attention_impl=os.environ.get("TPU_DIFFUSION_BENCH_ATTN",
+                                          "xla"))
         x = jnp.zeros((args.batch, 32, 32, 3), jnp.float32)
         t = jnp.zeros((args.batch,))
         params = model.init(jax.random.PRNGKey(0), x, t)

@@ -116,4 +116,14 @@ run_step cond_sf2m results_conditional/sf2m/class_trend.json 5400 \
   --variant sf2m --num_steps 400 --batch_size 128 \
   --output_dir results_conditional --save_every 100
 
+# --- 6. celeba 64x64 amortized (same geometry as flowers -> compile-cache
+#        hits make this cell cheap) ---------------------------------------
+run_step celeba_amortized results_celeba_amortized/results.json 10000 \
+  python -m tpu_diffusion.cli.main \
+  --config celeba,inpainting,amortized --mode all \
+  --workdir results_celeba_amortized \
+  --override training.num_steps=1000 \
+  --override training.batch_size=32 \
+  --override network.model_path=
+
 echo "[chain5.2] ===== end $(date -u) ====="

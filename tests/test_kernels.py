@@ -180,6 +180,29 @@ def test_unet_with_pallas_attention_matches_xla():
         np.asarray(m_p.apply(params, x, t)), atol=1e-5, rtol=1e-4)
 
 
+def test_unet_with_fused_attention_matches_xla():
+    """attention_impl='pallas_fused' (raw-QKV kernel, zero transposes)
+    agrees with the XLA einsum path on the whole UNet, and reports its
+    engagement in the decision log."""
+    from tpu_diffusion.models.unet import (UNetModel, attn_decisions,
+                                           reset_attn_decisions)
+    kwargs = dict(in_channels=1, model_channels=8, out_channels=1,
+                  num_res_blocks=1, channel_mult=(1, 2),
+                  attention_resolutions=(2,), num_heads=2,
+                  dtype=jnp.float32)
+    m_x = UNetModel(attention_impl="xla", **kwargs)
+    m_f = UNetModel(attention_impl="pallas_fused", **kwargs)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 1))
+    t = jnp.array([0.1, 0.7])
+    params = m_x.init(jax.random.PRNGKey(0), x, t)
+    reset_attn_decisions()
+    got = m_f.apply(params, x, t)
+    assert any(d["impl"] == "pallas_fused" for d in attn_decisions())
+    np.testing.assert_allclose(
+        np.asarray(m_x.apply(params, x, t)),
+        np.asarray(got), atol=1e-5, rtol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # Whole-ResBlock megakernel (kernels/resblock.py) + fused inference engine
 # (models/unet_infer.py)
@@ -273,3 +296,31 @@ def test_fused_unet_inference_matches_model_apply():
     decw = model.apply(params, x, t, mode="decode", cache=(hw, skipsw))
     np.testing.assert_allclose(np.asarray(dec), np.asarray(decw),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_flash_attention_fused_matches_reference():
+    """The fused-QKV kernel (raw [B,T,3C] projection in, merged [B,T,C]
+    out, zero transposes) must match the einsum reference exactly up to
+    fp32 softmax tolerance, for dividing and non-dividing block sizes."""
+    from tpu_diffusion.kernels.attention import (_fused_ref,
+                                                 flash_attention_fused)
+    for t, c, heads, bq in ((128, 64, 2, 64), (96, 48, 3, 64)):
+        qkv = jax.random.normal(jax.random.PRNGKey(3), (2, t, 3 * c),
+                                jnp.float32)
+        out = flash_attention_fused(qkv, heads, bq)
+        want = _fused_ref(qkv, heads)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_flash_attention_fused_gradients_match():
+    """custom-vjp backward (XLA reference recompute) == grad of the
+    reference — the guidance samplers differentiate through attention."""
+    from tpu_diffusion.kernels.attention import (_fused_ref,
+                                                 flash_attention_fused)
+    qkv = jax.random.normal(jax.random.PRNGKey(4), (1, 64, 3 * 32),
+                            jnp.float32)
+    gf = jax.grad(lambda x: jnp.sum(flash_attention_fused(x, 2, 32) ** 2))(qkv)
+    gr = jax.grad(lambda x: jnp.sum(_fused_ref(x, 2) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               atol=1e-3, rtol=1e-3)

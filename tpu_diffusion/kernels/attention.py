@@ -289,3 +289,128 @@ def reference_attention(q: Array, k: Array, v: Array) -> Array:
                         k.astype(jnp.float32))
     p = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("...ts,...sd->...td", p, v)
+
+
+# ---------------------------------------------------------------------------
+# Fused-QKV forward: consume the projection output [B, T, 3C] DIRECTLY
+# ---------------------------------------------------------------------------
+#
+# The measured HLO-traffic attribution (PERF.md r4, scripts/hlo_traffic.py)
+# puts 1.18 GB/step of the bench program in layout copies, and the compiled
+# module shows transpose+copy PAIRS bracketing every attention einsum: any
+# per-head tensor derived from the [B, T, 3C] projection has logical order
+# [B, T, heads, d], and the dot canonicalizes to [B, heads, T, d] with a
+# materialized copy (~100 MB per attention block at the bench shape). This
+# kernel removes the copies STRUCTURALLY: it reads the raw projection
+# output (q/k/v head channels are static lane slices: channel index
+# (s*heads + h)*d + i for s in {q,k,v}), loops heads in-kernel, and writes
+# the merged [B, T, C] output — zero transposes on either side.
+#
+# Block layout legality (Mosaic: a block's last two dims must be multiples
+# of (8, 128) or the full dim): in (1, bq, 3C) and (1, T, 3C) the minor dim
+# is the FULL 3C channel axis; out (1, bq, C) minor is full C.
+#
+# VMEM per program ~ (bq + T) * 3C * itemsize + bq * T * 4 (one head's fp32
+# logits): ~1.2 MB at the bench shape (T=256, C=256), ~6.5 MB at the 64px
+# SR level (T=1024, C=192 -> full rows) — callers should check
+# fused_attention_fits_vmem() and fall back beyond it.
+
+
+def _attn_fused_kernel(qrow_ref, kvrow_ref, o_ref, *, heads: int,
+                       head_dim: int, scale: float):
+    c = heads * head_dim
+    qrow = qrow_ref[0]                              # [bq, 3C]
+    kvrow = kvrow_ref[0]                            # [T,  3C]
+    for h in range(heads):
+        lo = h * head_dim
+        q = qrow[:, lo:lo + head_dim].astype(jnp.float32)
+        k = kvrow[:, c + lo:c + lo + head_dim].astype(jnp.float32)
+        v = kvrow[:, 2 * c + lo:2 * c + lo + head_dim]
+        logits = jax.lax.dot_general(
+            q * scale, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)     # [bq, T]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        o = jax.lax.dot_general(
+            (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype), v,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        o_ref[0, :, lo:lo + head_dim] = o.astype(o_ref.dtype)
+
+
+def fused_attention_fits_vmem(t: int, c: int, block_q: int = 256,
+                              itemsize: int = 2,
+                              budget: int = 12 << 20) -> bool:
+    block_q = _pick_block(t, block_q)
+    need = (block_q + t) * 3 * c * itemsize + block_q * t * 4 \
+        + block_q * c * itemsize
+    return need <= budget
+
+
+def _fused_kernel_call(qkv, heads, block_q):
+    b, t, c3 = qkv.shape
+    c = c3 // 3
+    head_dim = c // heads
+    bq = _pick_block(t, block_q)
+    out = pl.pallas_call(
+        functools.partial(_attn_fused_kernel, heads=heads,
+                          head_dim=head_dim, scale=head_dim ** -0.5),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), qkv.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(b, t // bq),
+            in_specs=[
+                pl.BlockSpec((1, bq, c3), lambda bi, i: (bi, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, t, c3), lambda bi, i: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bq, c), lambda bi, i: (bi, i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * t * t * head_dim,
+            bytes_accessed=b * t * 4 * c * 2,
+            transcendentals=b * heads * t * t,
+        ),
+    )(qkv, qkv)
+    return out
+
+
+def _faf_fwd(qkv, heads, block_q):
+    # custom_vjp fwd receives args in their ORIGINAL positions (only bwd
+    # gets the nondiff args hoisted to the front)
+    return _fused_kernel_call(qkv, heads, block_q), qkv
+
+
+def _fused_ref(qkv: Array, heads: int) -> Array:
+    """XLA reference of the fused path (drives the custom-vjp backward —
+    the guidance samplers differentiate through the eps model)."""
+    b, t, c3 = qkv.shape
+    c = c3 // 3
+    d = c // heads
+    r = qkv.reshape(b, t, 3, heads, d)
+    q, k, v = r[:, :, 0], r[:, :, 1], r[:, :, 2]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32) * d**-0.5,
+                        k.astype(jnp.float32))
+    p = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, t, c)
+
+
+def _faf_bwd(heads, block_q, qkv, g):
+    _, vjp = jax.vjp(lambda x: _fused_ref(x, heads), qkv)
+    return (vjp(g.astype(jnp.float32) if g.dtype != qkv.dtype else g)[0]
+            .astype(qkv.dtype),)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def flash_attention_fused(qkv: Array, heads: int,
+                          block_q: int = 256) -> Array:
+    """softmax(QK^T/sqrt(d))V from the raw projection output.
+
+    qkv: [B, T, 3C] with channel order ((q|k|v)*heads + head)*head_dim —
+    exactly `nn.Conv(3C)` as consumed by AttentionBlock's
+    reshape(b, T, 3, heads, d). Returns the merged [B, T, C] context.
+    """
+    return _fused_kernel_call(qkv, heads, block_q)
+
+
+flash_attention_fused.defvjp(_faf_fwd, _faf_bwd)

@@ -147,6 +147,20 @@ class AttentionBlock(nn.Module):
         needs_bhtd = impl == "pallas" or self.sp_mesh is not None
 
         out = None
+        if impl == "pallas_fused" and self.sp_mesh is None:
+            # fused-QKV Pallas path: consumes the raw [b,T,3c] projection
+            # (static lane slices per head inside the kernel) and writes
+            # the merged context — removes the transpose+copy pairs that
+            # bracket the XLA einsums (1.18 GB/step measured, PERF.md r4)
+            from tpu_diffusion.kernels.attention import (
+                flash_attention_fused, fused_attention_fits_vmem)
+            if fused_attention_fits_vmem(h * w, c,
+                                         itemsize=jnp.dtype(
+                                             self.dtype).itemsize):
+                out = flash_attention_fused(qkv, heads)
+                _ATTN_DECISIONS.append({"impl": "pallas_fused",
+                                        "tokens": h * w, "heads": heads})
+            # else: fall through to the dense XLA path below
         if needs_bhtd:
             q, k, v = jnp.split(qkv.reshape(b, h * w, 3, heads, head_dim)
                                 .transpose(2, 0, 3, 1, 4), 3, axis=0)
