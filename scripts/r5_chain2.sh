@@ -67,6 +67,37 @@ run_step hlo_dump results_perf/hlo_tpu_r5.txt.gz 1800 \
   python scripts/hlo_traffic.py --save_hlo results_perf/hlo_tpu_r5.txt.gz \
   --detail_category layout_copy --top 24 --out results_perf/hlo_traffic_r5.json
 
+# --- 0.5 attention-impl A/B on the bench workload ------------------------
+# (the decision point for the layout-copy fix: fused-QKV kernel vs the XLA
+# einsum path, same protocol; plus the fused program's traffic attribution)
+if [ ! -e results_perf/bench_ab.json ]; then
+  wait_tpu
+  echo "[chain5.2] $(date -u +%H:%M:%S) bench A/B: xla"
+  XLA_OUT=$(timeout 3000 env TPU_DIFFUSION_BENCH_ATTN=xla python bench.py | tail -1)
+  echo "$XLA_OUT"
+  wait_tpu
+  echo "[chain5.2] $(date -u +%H:%M:%S) bench A/B: pallas_fused"
+  FUSED_OUT=$(timeout 3000 env TPU_DIFFUSION_BENCH_ATTN=pallas_fused python bench.py | tail -1)
+  echo "$FUSED_OUT"
+  python - "$XLA_OUT" "$FUSED_OUT" <<'EOF'
+import json, sys
+rows = []
+for s in sys.argv[1:3]:
+    try:
+        rows.append(json.loads(s))
+    except Exception:
+        rows.append({"error": s[:400]})
+with open("results_perf/bench_ab.json", "w") as f:
+    json.dump({"runs": rows}, f, indent=2)
+print("[chain5.2] wrote results_perf/bench_ab.json")
+EOF
+  wait_tpu
+  timeout 1800 env TPU_DIFFUSION_BENCH_ATTN=pallas_fused python scripts/hlo_traffic.py \
+    --detail_category layout_copy --top 24 \
+    --out results_perf/hlo_traffic_r5_fused.json \
+    --save_hlo results_perf/hlo_tpu_r5_fused.txt.gz || true
+fi
+
 # --- 1. conditioning-mechanism sweep ------------------------------------
 # (idempotent per cell; generous outer timeout, retried by re-invocation)
 for attempt in 1 2 3; do
