@@ -16,6 +16,13 @@ Instructions are bucketed by what their fusion bodies contain:
   softmax           exponential / divide after reduce (attention scores)
   concat            concatenate at top level or in the body
   layout_copy       copy / transpose / reshape-only fusions
+  vmem_prefetch     async copy-start/copy-done pairs from XLA's
+                    memory-space assignment (HBM<->VMEM S(1), identical
+                    layouts) — an XLA prefetch/eviction OPTIMIZATION the
+                    consumer's operand charge double-counts, not
+                    recoverable layout waste (r5 finding: 3 pairs at
+                    [64,32,32,128] + 1 at [64,16,16,256] ~ 0.3 GB/step
+                    of the r4 "layout_copy" bucket were these)
   elementwise_other everything else (FiLM, SiLU tails, DDIM update, ...)
 
 Run on the real TPU (the fusion decisions are the backend's):
@@ -96,7 +103,7 @@ SKIP_OPS = {"parameter", "constant", "get-tuple-element", "tuple",
             "partition-id", "replica-id", "iota"}
 
 CATEGORY_PRIORITY = ["conv_dense", "softmax", "norm_stats", "concat",
-                     "layout_copy"]
+                     "layout_copy", "vmem_prefetch"]
 
 
 def body_ops(comps, called):
@@ -107,6 +114,12 @@ def body_ops(comps, called):
 
 
 def categorize(opcode: str, rest: str, comps) -> str:
+    if opcode in ("copy-start", "copy-done"):
+        # single-chip programs only get async copies from memory-space
+        # assignment (the S(1) VMEM space in the tuple shape); source and
+        # destination layouts are identical, so these are never layout
+        # changes — bucket them apart from real copies
+        return "vmem_prefetch"
     ops = {opcode}
     m = re.search(r"calls=%?([\w.\-]+)", rest)
     if m:

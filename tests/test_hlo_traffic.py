@@ -101,3 +101,31 @@ def test_parse_and_attribute():
     total = sum(cats.values())
     assert total == cats["norm_stats"] + cats["elementwise_other"] + \
         cats["layout_copy"]
+
+
+ASYNC_MODULE = """\
+HloModule async_test, entry_computation_layout={()->f32[8,16]{1,0}}
+
+ENTRY %main () -> f32[8,16] {
+  %x0 = f32[8,16]{1,0} iota(), iota_dimension=0
+  %cs = (f32[8,16]{1,0}, f32[8,16]{1,0:S(1)}, u32[]) copy-start(%x0)
+  %cd = f32[8,16]{1,0} copy-done(%cs)
+  %cp = f32[8,16]{1,0} copy(%cd)
+  ROOT %out = f32[8,16]{1,0} add(%cd, %cp)
+}
+"""
+
+
+def test_async_msa_copies_bucketed_as_vmem_prefetch():
+    """copy-start/copy-done pairs are XLA memory-space-assignment
+    prefetch/eviction traffic (identical layouts, S(1) space in the tuple)
+    — bucketed apart from genuine layout copies so the layout_copy number
+    is the recoverable one."""
+    cats, _ = attribute(ASYNC_MODULE)
+    f = 8 * 16 * 4
+    # copy-start charges tuple result (2f + 4) + operand f; copy-done
+    # charges result f + operand tuple (2f + 4)
+    assert cats["vmem_prefetch"] == (3 * f + 4) * 2
+    # the plain copy stays a layout_copy (result + operand)
+    assert cats["layout_copy"] == 2 * f
+    assert cats["elementwise_other"] == 3 * f
