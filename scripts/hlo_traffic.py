@@ -114,11 +114,18 @@ def body_ops(comps, called):
 
 
 def categorize(opcode: str, rest: str, comps) -> str:
-    if opcode in ("copy-start", "copy-done"):
-        # single-chip programs only get async copies from memory-space
-        # assignment (the S(1) VMEM space in the tuple shape); source and
-        # destination layouts are identical, so these are never layout
-        # changes — bucket them apart from real copies
+    if opcode in ("copy-start", "copy-done", "async-start", "async-done",
+                  "async-update"):
+        # single-chip programs only get async ops from memory-space
+        # assignment: whole-buffer HBM<->VMEM copies (copy-start, S(1)
+        # space, identical layouts) and sliced prefetches of large
+        # weight/skip buffers (slice-start/done). Physically these read
+        # each buffer once — a read the consumer is charged for anyway —
+        # so bucket them apart from recoverable layout copies.
+        return "vmem_prefetch"
+    if opcode == "custom-call" and "ConcatBitcast" in rest:
+        # MSA stitches sliced prefetches back together with a bitcast:
+        # zero data movement, charged here only for visibility
         return "vmem_prefetch"
     ops = {opcode}
     m = re.search(r"calls=%?([\w.\-]+)", rest)
