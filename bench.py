@@ -4,7 +4,8 @@ UNet (the BASELINE.json north-star metric).
 Model matches the reference's CIFAR-10 config (128 ch, mult [1,2,2,2],
 attention at 16x16, 4 heads — cifar10/train_cifar10.py:92-103). The sampler
 is the jitted lax.scan DDIM-100 chain; config is the fastest measured on a
-v5e (PERF.md sweep): batch 64, XLA attention at T=256, bf16 norm compute
+v5e (PERF.md sweep + r5 A/B): batch 64, fused-QKV Pallas attention at
+T=256 (kernels/attention.py:flash_attention_fused), bf16 norm compute
 with fp32 statistics, bf16 weights.
 
 Prints ONE JSON line:
@@ -104,8 +105,12 @@ def analytic_min_bytes(model, params, x, t) -> int:
 
 def main():
     # attention impl knob for on-chip A/B runs ("xla" | "pallas_fused" |
-    # "pallas"); the default is whatever measured fastest (PERF.md)
-    attn_impl = os.environ.get("TPU_DIFFUSION_BENCH_ATTN", "xla")
+    # "pallas"); the default is whatever measured fastest. r5 A/B on the
+    # v5e (results_perf/bench_ab.json): pallas_fused 143.67 vs xla 132.47
+    # samples/s (K=1: 118.78 vs 108.76) — the fused-QKV kernel removes
+    # the attention-bracketing layout copies + fp32 score round-trips
+    # (~2 GB/step of cost-analysis bytes).
+    attn_impl = os.environ.get("TPU_DIFFUSION_BENCH_ATTN", "pallas_fused")
     model = create_model(
         image_size=32, num_channels=128, num_res_blocks=2, in_channels=3,
         channel_mult=(1, 2, 2, 2), num_heads=4,
