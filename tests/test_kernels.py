@@ -304,7 +304,11 @@ def test_flash_attention_fused_matches_reference():
     fp32 softmax tolerance, for dividing and non-dividing block sizes."""
     from tpu_diffusion.kernels.attention import (_fused_ref,
                                                  flash_attention_fused)
-    for t, c, heads, bq in ((128, 64, 2, 64), (96, 48, 3, 64)):
+    # (128,...,64) and (96,...,64) resolve to full-row blocks -> the
+    # single-operand kernel (one DMA per program); (256,...,128) keeps
+    # bq=128 < T -> the two-operand q-block/kv-row kernel
+    for t, c, heads, bq in ((128, 64, 2, 64), (96, 48, 3, 64),
+                            (256, 32, 2, 128)):
         qkv = jax.random.normal(jax.random.PRNGKey(3), (2, t, 3 * c),
                                 jnp.float32)
         out = flash_attention_fused(qkv, heads, bq)

@@ -318,9 +318,22 @@ def reference_attention(q: Array, k: Array, v: Array) -> Array:
 
 def _attn_fused_kernel(qrow_ref, kvrow_ref, o_ref, *, heads: int,
                        head_dim: int, scale: float):
-    c = heads * head_dim
-    qrow = qrow_ref[0]                              # [bq, 3C]
-    kvrow = kvrow_ref[0]                            # [T,  3C]
+    _attn_fused_body(qrow_ref[0], kvrow_ref[0], o_ref,
+                     heads=heads, head_dim=head_dim, scale=scale)
+
+
+def _attn_fused_kernel_1ref(row_ref, o_ref, *, heads: int, head_dim: int,
+                            scale: float):
+    # bq == T: the q rows and the kv rows are the SAME block — one operand,
+    # one DMA (the two-ref variant fetches the identical block twice)
+    row = row_ref[0]
+    _attn_fused_body(row, row, o_ref, heads=heads, head_dim=head_dim,
+                     scale=scale)
+
+
+def _attn_fused_body(qrow, kvrow, o_ref, *, heads: int, head_dim: int,
+                     scale: float):
+    c = heads * head_dim                  # qrow: [bq, 3C]; kvrow: [T, 3C]
     for h in range(heads):
         lo = h * head_dim
         q = qrow[:, lo:lo + head_dim].astype(jnp.float32)
@@ -351,6 +364,29 @@ def _fused_kernel_call(qkv, heads, block_q):
     c = c3 // 3
     head_dim = c // heads
     bq = _pick_block(t, block_q)
+    cost = pl.CostEstimate(
+        flops=4 * b * heads * t * t * head_dim,
+        bytes_accessed=b * t * 4 * c * 2,
+        transcendentals=b * heads * t * t,
+    )
+    if bq == t:
+        # whole-row grid: the q block and the kv block are the same
+        # [1, T, 3C] slab — pass qkv ONCE so each program DMAs it once
+        # (the two-operand variant fetches the identical block twice:
+        # +125 MB/step at the bench shape)
+        return pl.pallas_call(
+            functools.partial(_attn_fused_kernel_1ref, heads=heads,
+                              head_dim=head_dim, scale=head_dim ** -0.5),
+            out_shape=jax.ShapeDtypeStruct((b, t, c), qkv.dtype),
+            grid_spec=pl.GridSpec(
+                grid=(b,),
+                in_specs=[pl.BlockSpec((1, t, c3), lambda bi: (bi, 0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((1, t, c), lambda bi: (bi, 0, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            cost_estimate=cost,
+        )(qkv)
     out = pl.pallas_call(
         functools.partial(_attn_fused_kernel, heads=heads,
                           head_dim=head_dim, scale=head_dim ** -0.5),
@@ -366,11 +402,7 @@ def _fused_kernel_call(qkv, heads, block_q):
             out_specs=pl.BlockSpec((1, bq, c), lambda bi, i: (bi, i, 0),
                                    memory_space=pltpu.VMEM),
         ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * heads * t * t * head_dim,
-            bytes_accessed=b * t * 4 * c * 2,
-            transcendentals=b * heads * t * t,
-        ),
+        cost_estimate=cost,
     )(qkv, qkv)
     return out
 
